@@ -1,0 +1,98 @@
+"""Synthetic TSV rows + label dictionaries for tests and benchmarks.
+
+The reference's real train/test TSVs are not redistributable, so tests and
+the throughput benchmark fabricate rows with the exact on-disk format
+(base64 float32/int64 payloads, see ``tsv.parse_line``).
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+
+SYNTHETIC_LABELS = {
+    "0": "others",
+    "1": "dress",
+    "2": "shoe  leather",
+    "3": "hand bag",
+    "4": "book",
+    "5": "lamp chandelier",
+    "6": "shirt",
+    "7": "trousers",
+    "8": "hat",
+    "9": "watch strap",
+}
+
+SYNTHETIC_QUERIES = [
+    "red lace sling dress women summer",
+    "sen department of sweet dress",
+    "men leather shoe breathable",
+    "student school bag large capacity",
+    "chandelier living room lamp modern",
+    "2019 new white shirt",
+    "casual trousers loose",
+    "fisherman hat sun protection",
+    "watch strap stainless steel",
+    "children book early education",
+]
+
+
+def make_row(
+    rng: np.random.Generator,
+    product_id: int,
+    query_id: int,
+    query: str | None = None,
+    num_boxes: int | None = None,
+    image_h: int = 800,
+    image_w: int = 600,
+) -> str:
+    n = int(num_boxes if num_boxes is not None else rng.integers(1, 11))
+    y1 = rng.uniform(0, image_h / 2, size=n)
+    x1 = rng.uniform(0, image_w / 2, size=n)
+    y2 = y1 + rng.uniform(1, image_h / 2, size=n)
+    x2 = x1 + rng.uniform(1, image_w / 2, size=n)
+    boxes = np.stack([y1, x1, y2, x2], axis=1).astype(np.float32)
+    feats = rng.standard_normal((n, 2048), dtype=np.float32)
+    labels = rng.integers(0, len(SYNTHETIC_LABELS), size=n).astype(np.int64)
+    if query is None:
+        query = SYNTHETIC_QUERIES[int(rng.integers(0, len(SYNTHETIC_QUERIES)))]
+    cols = [
+        str(product_id),
+        str(image_h),
+        str(image_w),
+        str(n),
+        base64.b64encode(boxes.tobytes()).decode("ascii"),
+        base64.b64encode(feats.tobytes()).decode("ascii"),
+        base64.b64encode(labels.tobytes()).decode("ascii"),
+        query,
+        str(query_id),
+    ]
+    return "\t".join(cols)
+
+
+def make_tsv(
+    n_rows: int,
+    seed: int = 0,
+    header: bool = True,
+    n_queries: int | None = None,
+) -> list[str]:
+    rng = np.random.default_rng(seed)
+    lines = []
+    if header:
+        lines.append(
+            "product_id\timage_h\timage_w\tnum_boxes\tboxes\tfeatures"
+            "\tclass_labels\tquery\tquery_id"
+        )
+    n_queries = n_queries or max(1, n_rows // 3)
+    for i in range(n_rows):
+        qid = int(rng.integers(0, n_queries))
+        lines.append(
+            make_row(
+                rng,
+                product_id=100000 + i,
+                query_id=qid,
+                query=SYNTHETIC_QUERIES[qid % len(SYNTHETIC_QUERIES)],
+            )
+        )
+    return lines
