@@ -1,0 +1,295 @@
+"""Shared cross-modal transformer core (functional JAX, pytree params).
+
+All four reference scorers are BERT-Base-shaped encoders differing only in
+how image tokens are embedded, position/segment layout, mask policy and
+head. This module provides the shared pieces:
+
+* ``BertConfig`` (mirrors ``code/user_data/bert_config.json``),
+* parameter initialisation (truncated normal, stddev=initializer_range,
+  matching ``create_initializer``: ``pixelmodel.py:418-420``),
+* layer norm (eps 1e-12, float32 math -- TF contrib layer_norm and torch
+  BertLayerNorm both use 1e-12),
+* the post-LN encoder stack, run with ``lax.scan`` over stacked per-layer
+  parameters (one compiled layer body instead of 12 unrolled ones),
+* the tanh pooler.
+
+Precision policy: parameters live in float32; matmul inputs are cast to
+``Precision.compute_dtype`` (bfloat16 on TPU for throughput) with float32
+accumulation; LayerNorm, softmax and all head math stay float32. ``f32()``
+gives the strict-parity configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.activations import ACTIVATIONS
+from ..ops.attention import mha_xla, merge_heads, split_heads
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 21128
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+
+    @classmethod
+    def from_json_file(cls, path) -> "BertConfig":
+        with open(path, "r", encoding="utf-8") as f:
+            raw = json.load(f)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields})
+
+    def replace(self, **kw) -> "BertConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class Precision:
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def f32(cls) -> "Precision":
+        return cls(jnp.float32)
+
+    @classmethod
+    def bf16(cls) -> "Precision":
+        return cls(jnp.bfloat16)
+
+
+# --------------------------------------------------------------------------
+# initialisers
+# --------------------------------------------------------------------------
+
+
+def trunc_normal(rng: jax.Array, shape, stddev: float = 0.02) -> jax.Array:
+    """tf.truncated_normal_initializer: normal truncated at 2 sigma."""
+    return stddev * jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32)
+
+
+def dense_init(rng, d_in: int, d_out: int, stddev: float = 0.02) -> Params:
+    return {
+        "kernel": trunc_normal(rng, (d_in, d_out), stddev),
+        "bias": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"gamma": jnp.ones((dim,), jnp.float32), "beta": jnp.zeros((dim,), jnp.float32)}
+
+
+# --------------------------------------------------------------------------
+# primitive apply fns
+# --------------------------------------------------------------------------
+
+
+def dense(p: Params, x: jax.Array, prec: Precision) -> jax.Array:
+    y = jnp.dot(
+        x.astype(prec.compute_dtype),
+        p["kernel"].astype(prec.compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return y + p["bias"].astype(jnp.float32)
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["gamma"] + p["beta"]
+
+
+def dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# attention block (BERT self/cross attention + output projection + LN)
+# --------------------------------------------------------------------------
+
+
+def attention_block_init(rng, cfg: BertConfig, ctx_dim: int | None = None) -> Params:
+    h = cfg.hidden_size
+    ctx = ctx_dim or h
+    ks = jax.random.split(rng, 4)
+    return {
+        "query": dense_init(ks[0], h, h, cfg.initializer_range),
+        "key": dense_init(ks[1], ctx, h, cfg.initializer_range),
+        "value": dense_init(ks[2], ctx, h, cfg.initializer_range),
+        "output": {
+            "dense": dense_init(ks[3], h, h, cfg.initializer_range),
+            "LayerNorm": layer_norm_init(h),
+        },
+    }
+
+
+def attention_block(
+    p: Params,
+    x: jax.Array,
+    ctx: jax.Array,
+    bias: jax.Array | None,
+    cfg: BertConfig,
+    prec: Precision,
+    dropout_rngs: tuple | None = None,
+) -> jax.Array:
+    """Attend from x to ctx; project; residual + LN (post-LN BERT)."""
+    n = cfg.num_attention_heads
+    q = split_heads(dense(p["query"], x, prec), n)
+    k = split_heads(dense(p["key"], ctx, prec), n)
+    v = split_heads(dense(p["value"], ctx, prec), n)
+    attn_rng, hid_rng = dropout_rngs if dropout_rngs else (None, None)
+    o = mha_xla(
+        q.astype(prec.compute_dtype),
+        k.astype(prec.compute_dtype),
+        v.astype(prec.compute_dtype),
+        bias,
+        dropout_rate=cfg.attention_probs_dropout_prob if attn_rng is not None else 0.0,
+        dropout_rng=attn_rng,
+    )
+    o = dense(p["output"]["dense"], merge_heads(o), prec)
+    o = dropout(o, cfg.hidden_dropout_prob if hid_rng is not None else 0.0, hid_rng)
+    return layer_norm(p["output"]["LayerNorm"], o + x.astype(jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# feed-forward block
+# --------------------------------------------------------------------------
+
+
+def ffn_init(rng, cfg: BertConfig) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {
+        "intermediate": dense_init(k1, cfg.hidden_size, cfg.intermediate_size, cfg.initializer_range),
+        "output": {
+            "dense": dense_init(k2, cfg.intermediate_size, cfg.hidden_size, cfg.initializer_range),
+            "LayerNorm": layer_norm_init(cfg.hidden_size),
+        },
+    }
+
+
+def ffn_block(
+    p: Params,
+    x: jax.Array,
+    cfg: BertConfig,
+    prec: Precision,
+    act: str | None = None,
+    hid_rng: jax.Array | None = None,
+) -> jax.Array:
+    act_fn = ACTIVATIONS[act or cfg.hidden_act]
+    h = act_fn(dense(p["intermediate"], x, prec))
+    h = dense(p["output"]["dense"], h, prec)
+    h = dropout(h, cfg.hidden_dropout_prob if hid_rng is not None else 0.0, hid_rng)
+    return layer_norm(p["output"]["LayerNorm"], h + x.astype(jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# encoder stack (scan over stacked layer params)
+# --------------------------------------------------------------------------
+
+
+def encoder_layer_init(rng, cfg: BertConfig) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {"attention": attention_block_init(k1, cfg), "ffn": ffn_init(k2, cfg)}
+
+
+def encoder_init(rng, cfg: BertConfig, num_layers: int | None = None) -> Params:
+    """Stacked per-layer params: every leaf gets a leading [L] axis."""
+    n = num_layers or cfg.num_hidden_layers
+    layers = [encoder_layer_init(k, cfg) for k in jax.random.split(rng, n)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+def encoder_layer(
+    p: Params,
+    x: jax.Array,
+    bias: jax.Array | None,
+    cfg: BertConfig,
+    prec: Precision,
+    act: str | None = None,
+    rngs: tuple | None = None,
+) -> jax.Array:
+    a_rngs = rngs[:2] if rngs else None
+    f_rng = rngs[2] if rngs else None
+    x = attention_block(p["attention"], x, x, bias, cfg, prec, a_rngs)
+    return ffn_block(p["ffn"], x, cfg, prec, act=act, hid_rng=f_rng)
+
+
+def encoder(
+    p: Params,
+    x: jax.Array,
+    bias: jax.Array | None,
+    cfg: BertConfig,
+    prec: Precision,
+    act: str | None = None,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    num_layers = jax.tree.leaves(p)[0].shape[0]
+
+    def body(carry, inp):
+        h, r = carry
+        layer_p = inp
+        if r is not None:
+            r, step = jax.random.split(r)
+            rngs = tuple(jax.random.split(step, 3))
+        else:
+            rngs = None
+        h = encoder_layer(layer_p, h, bias, cfg, prec, act=act, rngs=rngs)
+        return (h, r), None
+
+    (x, _), _ = jax.lax.scan(body, (x.astype(jnp.float32), rng), p, length=num_layers)
+    return x
+
+
+# --------------------------------------------------------------------------
+# embeddings & pooler
+# --------------------------------------------------------------------------
+
+
+def embeddings_init(rng, cfg: BertConfig) -> Params:
+    ks = jax.random.split(rng, 3)
+    return {
+        "word_embeddings": trunc_normal(
+            ks[0], (cfg.vocab_size, cfg.hidden_size), cfg.initializer_range
+        ),
+        "token_type_embeddings": trunc_normal(
+            ks[1], (cfg.type_vocab_size, cfg.hidden_size), cfg.initializer_range
+        ),
+        "position_embeddings": trunc_normal(
+            ks[2], (cfg.max_position_embeddings, cfg.hidden_size), cfg.initializer_range
+        ),
+        "LayerNorm": layer_norm_init(cfg.hidden_size),
+    }
+
+
+def pooler_init(rng, cfg: BertConfig) -> Params:
+    return {"dense": dense_init(rng, cfg.hidden_size, cfg.hidden_size, cfg.initializer_range)}
+
+
+def pooler(p: Params, seq: jax.Array, prec: Precision) -> jax.Array:
+    """tanh(dense(first token)) -- pixelmodel.py:262-270."""
+    return jnp.tanh(dense(p["dense"], seq[:, 0, :], prec))
+
+
+def num_params(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

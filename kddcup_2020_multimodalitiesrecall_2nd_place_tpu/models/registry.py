@@ -1,0 +1,78 @@
+"""Model registry: the four reference scorers as configs of one family.
+
+Ensemble weights follow ``code/main.py:59``:
+merge = 0.2*B + 0.2*C + 0.3*A + 0.3*LXMERT.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+
+from .. import BERT_CONFIG_PATH
+from . import imagebert_a, imagebert_b, lxmert
+from .core import BertConfig, Params, Precision
+from .lxmert import LxmertConfig
+
+ENSEMBLE_WEIGHTS = {
+    "imagebert_a": 0.3,
+    "imagebert_b": 0.2,
+    "imagebert_c": 0.2,
+    "lxmert": 0.3,
+}
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    config: Any
+    init: Callable[[jax.Array], Params]
+    apply: Callable[..., dict]
+    featurizer_layout: str  # which Featurizer method builds its batches
+    sen2forest: bool = False
+
+    def init_params(self, rng: jax.Array) -> Params:
+        return self.init(rng)
+
+    def score(self, params: Params, batch: dict, prec: Precision = Precision.f32()):
+        return self.apply(params, batch, self.config, prec)["score"]
+
+
+def _bert_config() -> BertConfig:
+    return BertConfig.from_json_file(BERT_CONFIG_PATH)
+
+
+def get_model(name: str) -> ModelSpec:
+    cfg = _bert_config()
+    if name == "imagebert_a":
+        return ModelSpec(
+            name,
+            cfg,
+            init=lambda rng: imagebert_a.init_params(rng, cfg),
+            apply=imagebert_a.apply,
+            featurizer_layout="imagebert_a",
+        )
+    if name in ("imagebert_b", "imagebert_c"):
+        return ModelSpec(
+            name,
+            cfg,
+            init=lambda rng: imagebert_b.init_params(rng, cfg),
+            apply=imagebert_b.apply,
+            featurizer_layout="imagebert_b",
+            sen2forest=(name == "imagebert_c"),
+        )
+    if name == "lxmert":
+        lcfg = LxmertConfig(bert=cfg)
+        return ModelSpec(
+            name,
+            lcfg,
+            init=lambda rng: lxmert.init_params(rng, lcfg),
+            apply=lxmert.apply,
+            featurizer_layout="lxmert",
+        )
+    raise ValueError(f"unknown model {name!r}")
+
+
+MODEL_NAMES = tuple(ENSEMBLE_WEIGHTS)

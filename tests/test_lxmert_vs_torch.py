@@ -1,0 +1,135 @@
+"""Cross-check our JAX LXMERT against the actual reference PyTorch model.
+
+Loads ``code/lxmert/src/lxrt/modeling.py`` straight from the mounted
+reference repo (torch-cpu is available), builds a tiny LXRTModel, imports its
+``state_dict`` through our torch importer, and compares lang/visn/pooled
+outputs. This validates both the model math and the checkpoint importer
+against the reference implementation itself.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+jax = pytest.importorskip("jax")
+
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint.importers import (
+    lxmert_from_torch,
+)
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+    BertConfig,
+    LxmertConfig,
+    Precision,
+    lxmert,
+)
+
+B, HID, HEADS, INTER, VOCAB = 2, 32, 4, 53, 67
+FEAT_DIM = 48
+L_LAYERS = X_LAYERS = R_LAYERS = 2
+
+
+def _load_reference_modeling(reference_dir):
+    pkg = types.ModuleType("lxrt")
+    pkg.__path__ = [str(reference_dir / "code/lxmert/src/lxrt")]
+    sys.modules["lxrt"] = pkg
+    fu = types.ModuleType("lxrt.file_utils")
+    fu.cached_path = lambda p, cache_dir=None: p
+    sys.modules["lxrt.file_utils"] = fu
+    spec = importlib.util.spec_from_file_location(
+        "lxrt.modeling", reference_dir / "code/lxmert/src/lxrt/modeling.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["lxrt.modeling"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_modeling(reference_dir):
+    try:
+        return _load_reference_modeling(reference_dir)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference modeling unimportable: {e}")
+
+
+def test_lxmert_matches_reference_torch(ref_modeling):
+    m = ref_modeling
+    m.VISUAL_CONFIG.l_layers = L_LAYERS
+    m.VISUAL_CONFIG.x_layers = X_LAYERS
+    m.VISUAL_CONFIG.r_layers = R_LAYERS
+    m.VISUAL_CONFIG.visual_feat_dim = FEAT_DIM
+    m.VISUAL_CONFIG.visual_pos_dim = 4
+    m.VISUAL_CONFIG.boxes_label_dim = HID
+
+    cfg = m.BertConfig(
+        vocab_size_or_config_json_file=VOCAB,
+        hidden_size=HID,
+        num_hidden_layers=L_LAYERS,
+        num_attention_heads=HEADS,
+        intermediate_size=INTER,
+        max_position_embeddings=64,
+        type_vocab_size=2,
+    )
+    torch.manual_seed(0)
+    model = m.LXRTModel(cfg)
+    model.eval()
+
+    rng = np.random.default_rng(0)
+    nq = rng.integers(3, 24, (B,))
+    nb = rng.integers(1, 11, (B,))
+    batch = {
+        "input_ids": rng.integers(0, VOCAB, (B, 23)).astype(np.int32),
+        "input_mask": (np.arange(23)[None] < nq[:, None]).astype(np.int32),
+        "label_ids": rng.integers(0, VOCAB, (B, 10, 8)).astype(np.int32),
+        "label_mask": np.ones((B, 10, 8), np.int32),
+        "boxes": rng.standard_normal((B, 10, 4)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, FEAT_DIM)).astype(np.float32),
+        "feats_mask": (np.arange(10)[None] < nb[:, None]).astype(np.float32),
+    }
+
+    with torch.no_grad():
+        (lang_t, visn_t), pooled_t = model(
+            torch.tensor(batch["input_ids"], dtype=torch.long),
+            torch.tensor(batch["label_ids"], dtype=torch.long),
+            attention_mask=torch.tensor(batch["input_mask"], dtype=torch.long),
+            visual_feats=(
+                torch.tensor(batch["features"]),
+                torch.tensor(batch["boxes"]),
+            ),
+            visual_attention_mask=torch.tensor(batch["feats_mask"]),
+        )
+
+    lcfg = LxmertConfig(
+        bert=BertConfig(
+            vocab_size=VOCAB,
+            hidden_size=HID,
+            num_hidden_layers=L_LAYERS,
+            num_attention_heads=HEADS,
+            intermediate_size=INTER,
+            max_position_embeddings=64,
+        ),
+        l_layers=L_LAYERS,
+        x_layers=X_LAYERS,
+        r_layers=R_LAYERS,
+        visual_feat_dim=FEAT_DIM,
+    )
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = lxmert_from_torch(sd, lcfg)
+    # heads are absent from the bare LXRTModel; add random ones for apply()
+    full = lxmert.init_params(jax.random.key(0), lcfg)
+    full["bert"] = params["bert"]
+    out = lxmert.apply(full, batch, lcfg, Precision.f32())
+
+    np.testing.assert_allclose(
+        np.asarray(out["pooled"]), pooled_t.numpy(), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["lang"]), lang_t.numpy(), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["visn"]), visn_t.numpy(), atol=2e-5, rtol=1e-4
+    )
