@@ -1,0 +1,78 @@
+"""Throughput benchmark: query-product pairs scored per second per chip.
+
+Runs the flagship ImageBERT-A scorer (full BERT-Base config, bf16 matmuls /
+f32 softmax+LN) over pre-staged synthetic batches on the available
+accelerator and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "pairs/s/chip", "vs_baseline": N/50000}
+
+Baseline: the reference publishes no throughput (it scored testB with a
+batch-5 feed_dict loop, ``run_pretraining_predict_score.py:523,566``); the
+north-star target from BASELINE.md is 50k pairs/s/chip on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+
+    model = get_model("imagebert_a")
+    cfg = model.config
+    params = model.init_params(jax.random.key(0))
+
+    batch_size = int(__import__("os").environ.get("BENCH_BATCH", "1024"))
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": rng.integers(0, cfg.vocab_size, (batch_size, 20)).astype(np.int32),
+        "segment_ids": np.zeros((batch_size, 20), np.int32),
+        "boxes": rng.standard_normal((batch_size, 10, 5)).astype(np.float32),
+        "features": rng.standard_normal((batch_size, 10, 2048)).astype(np.float32),
+        "label_ids": rng.integers(0, cfg.vocab_size, (batch_size, 10, 8)).astype(np.int32),
+    }
+    batch = jax.device_put(batch)
+
+    @jax.jit
+    def score(params, batch):
+        return model.apply(params, batch, cfg, Precision.bf16())["score"]
+
+    # warmup / compile
+    score(params, batch).block_until_ready()
+    for _ in range(2):
+        score(params, batch).block_until_ready()
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_iters):
+        out = score(params, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.local_device_count()
+    pairs_per_sec = n_iters * batch_size / dt / max(n_chips, 1)
+    baseline = 50_000.0
+    print(
+        json.dumps(
+            {
+                "metric": "imagebert_a_scoring_throughput",
+                "value": round(pairs_per_sec, 1),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(pairs_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,15 +63,24 @@ class BertConfig:
 
 @dataclass(frozen=True)
 class Precision:
+    """Matmul policy.
+
+    On TPU, float32 matmul inputs still run on the MXU in bfloat16 passes
+    unless ``jax.lax.Precision.HIGHEST`` is requested -- strict parity mode
+    must set it or a 2048-length contraction drifts ~5e-3. bf16 mode uses
+    the fast single-pass default.
+    """
+
     compute_dtype: Any = jnp.float32
+    matmul: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
     @classmethod
     def f32(cls) -> "Precision":
-        return cls(jnp.float32)
+        return cls(jnp.float32, jax.lax.Precision.HIGHEST)
 
     @classmethod
     def bf16(cls) -> "Precision":
-        return cls(jnp.bfloat16)
+        return cls(jnp.bfloat16, jax.lax.Precision.DEFAULT)
 
 
 # --------------------------------------------------------------------------
@@ -105,6 +114,7 @@ def dense(p: Params, x: jax.Array, prec: Precision) -> jax.Array:
         x.astype(prec.compute_dtype),
         p["kernel"].astype(prec.compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=prec.matmul,
     )
     return y + p["bias"].astype(jnp.float32)
 
@@ -166,6 +176,7 @@ def attention_block(
         bias,
         dropout_rate=cfg.attention_probs_dropout_prob if attn_rng is not None else 0.0,
         dropout_rng=attn_rng,
+        precision=prec.matmul,
     )
     o = dense(p["output"]["dense"], merge_heads(o), prec)
     o = dropout(o, cfg.hidden_dropout_prob if hid_rng is not None else 0.0, hid_rng)

@@ -43,7 +43,14 @@ def nsp_head_init(rng, cfg: BertConfig) -> Params:
 
 
 def nsp_logits(p: Params, pooled: jax.Array) -> jax.Array:
-    return pooled.astype(jnp.float32) @ p["output_weights"].T.astype(jnp.float32) + p["output_bias"]
+    return (
+        jnp.dot(
+            pooled.astype(jnp.float32),
+            p["output_weights"].T.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + p["output_bias"]
+    )
 
 
 def nsp_probs(p: Params, pooled: jax.Array) -> jax.Array:
@@ -72,7 +79,7 @@ def am_cosines(p: Params, pooled: jax.Array) -> jax.Array:
     x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     w = p["am_kernel"].astype(jnp.float32)
     w = w / jnp.maximum(jnp.linalg.norm(w, axis=0, keepdims=True), 1e-10)
-    return jnp.clip(x @ w, -1.0, 1.0)
+    return jnp.clip(jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST), -1.0, 1.0)
 
 
 def am_margin_logits(cos: jax.Array, labels: jax.Array) -> jax.Array:
@@ -120,6 +127,7 @@ def mlm_logits(
         h.astype(prec.compute_dtype),
         word_embeddings.T.astype(prec.compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=prec.matmul,
     )
     return logits + p["output_bias"]
 

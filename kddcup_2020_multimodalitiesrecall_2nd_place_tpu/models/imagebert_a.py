@@ -70,7 +70,7 @@ def _label_mix(emb_table: jax.Array, mix: jax.Array, label_ids: jax.Array) -> ja
     b = e.shape[0]
     h = e.shape[-1]
     flat = e.reshape(-1, mix.shape[0])  # groups of 8 consecutive dims (C order)
-    mixed = flat @ mix.astype(flat.dtype)  # [B*10*H, 1]
+    mixed = jnp.dot(flat, mix.astype(flat.dtype), precision=jax.lax.Precision.HIGHEST)
     return mixed.reshape(b, MAX_BOXES, h)
 
 

@@ -91,6 +91,7 @@ def _label_conv(p: Params, emb: jax.Array, prec: Precision) -> jax.Array:
             jax.lax.dynamic_slice_in_dim(padded, j, 8, axis=2),
             w[j],
             preferred_element_type=jnp.float32,
+            precision=prec.matmul,
         )
     out = jax.nn.relu(out + p["biases"])
     return jnp.mean(out, axis=2)

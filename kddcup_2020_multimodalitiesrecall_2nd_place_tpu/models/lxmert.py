@@ -151,7 +151,13 @@ def visual_encoder(
     x = layer_norm(p["visn_layer_norm"], dense(p["visn_fc"], batch["features"], prec))
     y = layer_norm(p["box_layer_norm"], dense(p["box_fc"], batch["boxes"], prec))
     w = p["label_conv"]["weights"]
-    z = jnp.einsum("bnth,t->bnh", label_emb.astype(jnp.float32), w) + p["label_conv"]["biases"]
+    z = (
+        jnp.einsum(
+            "bnth,t->bnh", label_emb.astype(jnp.float32), w,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + p["label_conv"]["biases"]
+    )
     z = layer_norm(p["label_layer_norm"], dense(p["label_fc"], z, prec))
     out = (x + y + z) / 3.0
     if rng is not None:
@@ -222,7 +228,7 @@ def apply(
         x_n = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=1, keepdims=True), 1e-12)
         w = p["logit_W"]
         w_n = w / jnp.maximum(jnp.linalg.norm(w, axis=0, keepdims=True), 1e-12)
-        logit = x_n @ w_n
+        logit = jnp.dot(x_n, w_n, precision=jax.lax.Precision.HIGHEST)
     else:
         logit = heads.logit_fc(p["logit_fc"], pooled, prec)
     probs = jax.nn.softmax(logit, axis=-1)

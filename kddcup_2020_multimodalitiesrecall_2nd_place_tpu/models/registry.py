@@ -34,7 +34,11 @@ class ModelSpec:
     sen2forest: bool = False
 
     def init_params(self, rng: jax.Array) -> Params:
-        return self.init(rng)
+        # jit: initialisation is dozens of truncated-normal ops; one fused
+        # program instead of per-op dispatch (slow on this host's backends)
+        if not hasattr(self, "_jit_init"):
+            object.__setattr__(self, "_jit_init", jax.jit(self.init))
+        return self._jit_init(rng)
 
     def score(self, params: Params, batch: dict, prec: Precision = Precision.f32()):
         return self.apply(params, batch, self.config, prec)["score"]

@@ -43,10 +43,12 @@ def mha_xla(
     bias: jax.Array | None = None,  # additive, broadcastable to [B, N, F, T]
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
+    precision=None,
 ) -> jax.Array:
     head_dim = q.shape[-1]
     scores = jnp.einsum(
-        "bnfh,bnth->bnft", q, k, preferred_element_type=jnp.float32
+        "bnfh,bnth->bnft", q, k, preferred_element_type=jnp.float32,
+        precision=precision,
     )
     scores = scores * (1.0 / jnp.sqrt(jnp.float32(head_dim)))
     if bias is not None:
@@ -56,7 +58,10 @@ def mha_xla(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     probs = probs.astype(v.dtype)
-    return jnp.einsum("bnft,bnth->bnfh", probs, v, preferred_element_type=jnp.float32).astype(v.dtype)
+    return jnp.einsum(
+        "bnft,bnth->bnfh", probs, v, preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(v.dtype)
 
 
 def mask_to_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:

@@ -1,0 +1,145 @@
+"""The pjit scoring engine: streams TSV pairs through a sharded jitted model.
+
+Replaces the reference's per-batch ``sess.run`` feed-dict loops
+(``run_pretraining_predict_score.py:566-576``, ``evaluate_normal.py:222-249``)
+with one compiled XLA program per model: fixed batch shape (tail padded +
+valid mask), params resident in HBM, batches device_put with a ``data``-axis
+sharding so the same code runs 1-chip or N-chip. The host pipeline
+(tokenize/decode) runs ahead on a prefetch thread; device dispatch is async
+so host and TPU overlap.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Iterable, Iterator
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data import Featurizer, PipelineStats, batches_from_files
+from ..models import ModelSpec, Precision
+from .mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
+
+META_KEYS = ("product_id", "query_id", "valid")
+
+
+@dataclass
+class ScoringStats:
+    pairs: int = 0
+    batches: int = 0
+    seconds: float = 0.0
+    pipeline: PipelineStats = field(default_factory=PipelineStats)
+
+    @property
+    def pairs_per_second(self) -> float:
+        return self.pairs / self.seconds if self.seconds > 0 else 0.0
+
+
+class ScoringEngine:
+    """Compiled pairwise scorer for one model over a device mesh."""
+
+    def __init__(
+        self,
+        model: ModelSpec,
+        params,
+        mesh: Mesh | None = None,
+        precision: Precision = Precision.bf16(),
+        donate_batch: bool = True,
+    ):
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.precision = precision
+        self.params = jax.device_put(params, replicated(self.mesh))
+        self._batch_sharding = batch_sharding(self.mesh)
+
+        out_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        @partial(
+            jax.jit,
+            out_shardings=out_sharding,
+            donate_argnums=(1,) if donate_batch else (),
+        )
+        def _score(params, batch):
+            feats = {k: v for k, v in batch.items() if k not in META_KEYS}
+            return model.apply(params, feats, model.config, precision)["score"]
+
+        self._score = _score
+
+    def score_batch(self, batch: dict) -> jax.Array:
+        device_batch = {
+            k: jax.device_put(v, self._batch_sharding)
+            for k, v in batch.items()
+            if k not in ("product_id", "query_id")
+        }
+        return self._score(self.params, device_batch)
+
+    def score_stream(
+        self, batches: Iterable[dict], stats: ScoringStats | None = None
+    ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """-> (query_ids, product_ids, scores) per batch, valid rows only.
+
+        Keeps one batch in flight: batch N+1 is dispatched before batch N's
+        scores are pulled back to the host, overlapping host transfer,
+        device compute and the D2H copy.
+        """
+        stats = stats if stats is not None else ScoringStats()
+        pending = None  # (qid, pid, valid, device_scores)
+        t0 = time.perf_counter()
+        for batch in batches:
+            qid, pid, valid = batch["query_id"], batch["product_id"], batch["valid"]
+            scores = self.score_batch(batch)
+            if pending is not None:
+                yield self._finish(pending, stats)
+            pending = (qid, pid, valid, scores)
+        if pending is not None:
+            yield self._finish(pending, stats)
+        stats.seconds = time.perf_counter() - t0
+
+    @staticmethod
+    def _finish(pending, stats: ScoringStats):
+        qid, pid, valid, scores = pending
+        scores = np.asarray(scores)[valid]
+        stats.pairs += int(valid.sum())
+        stats.batches += 1
+        return qid[valid], pid[valid], scores
+
+    def score_files(
+        self,
+        paths,
+        featurizer: Featurizer,
+        batch_size: int,
+        stats: ScoringStats | None = None,
+    ) -> dict[str, dict[str, float]]:
+        """Full scorer run: files -> {query_id: {product_id: score}}."""
+        stats = stats if stats is not None else ScoringStats()
+        fz = featurizer.for_model(self.model.name)
+        batches = batches_from_files(paths, fz, batch_size, stats=stats.pipeline)
+        result: dict[str, dict[str, float]] = {}
+        t0 = time.perf_counter()
+        for qids, pids, scores in self.score_stream(batches, stats):
+            for q, p, s in zip(qids, pids, scores):
+                result.setdefault(str(q), {})[str(p)] = float(s)
+        stats.seconds = time.perf_counter() - t0
+        return result
+
+
+def write_scores_tsv(result: dict[str, dict[str, float]], path) -> None:
+    """qid\\tpid\\tscore rows (the ImageBERT score-file format)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for qid, row in result.items():
+            for pid, s in row.items():
+                f.write(f"{qid}\t{pid}\t{s}\n")
+
+
+def write_scores_csv(result: dict[str, dict[str, float]], path) -> None:
+    """LXMERT score-file format with header."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("query-id,product-id,score\n")
+        for qid, row in result.items():
+            for pid, s in row.items():
+                f.write(f"{qid},{pid},{s}\n")

@@ -1,0 +1,177 @@
+"""Data-parallel training engine (jit over a mesh; XLA inserts the grad
+all-reduce over ICI -- the TPU-native replacement for the reference's tower
+loops + ``average_gradients``: ``run_pretraining_predict_score.py:176-231``,
+``train_normal.py:59-98``).
+
+Per-model recipes mirror the reference drivers:
+
+* ImageBERT-A: BERT-Adam (poly decay + warmup), global-norm clip 1.0, NSP
+  loss (+ optional MLM and Multi-Similarity terms used in its fine-tunes).
+* ImageBERT-B: plain Adam with 0.94/2500 staircase decay, per-value clip
+  +-1, AM-softmax loss, EMA 0.997 over all trainables
+  (``train_normal.py:133-194``).
+* LXMERT: Adam, cross-entropy on logit_fc (+ optional MLM).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import ModelSpec, Precision, heads
+from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
+from .ema import EmaState, ema_init, ema_update
+from .losses import ms_loss
+from .optim import (
+    bert_adamw,
+    clip_by_global_norm,
+    clip_by_value,
+    exponential_staircase_schedule,
+    polynomial_warmup_schedule,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: EmaState | None
+    step: jax.Array
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 2e-5
+    num_train_steps: int = 100_000
+    num_warmup_steps: int = 30_000
+    optimizer: str = "bert_adamw"  # or "adam_staircase"
+    clip: str = "global_norm"  # "global_norm" | "value" | "none"
+    clip_value: float = 1.0
+    ema_decay: float | None = None
+    ms_loss_weight: float = 0.0
+    mlm_loss_weight: float = 0.0
+
+
+def recipe_for(model_name: str) -> TrainConfig:
+    if model_name == "imagebert_a":
+        return TrainConfig(
+            learning_rate=2e-5,
+            optimizer="bert_adamw",
+            clip="global_norm",
+        )
+    if model_name in ("imagebert_b", "imagebert_c"):
+        return TrainConfig(
+            learning_rate=2e-5,
+            optimizer="adam_staircase",
+            clip="value",
+            ema_decay=0.997,
+        )
+    if model_name == "lxmert":
+        return TrainConfig(learning_rate=1e-4, optimizer="bert_adamw", clip="global_norm")
+    raise ValueError(model_name)
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    if tc.optimizer == "bert_adamw":
+        sched = polynomial_warmup_schedule(
+            tc.learning_rate, tc.num_train_steps, tc.num_warmup_steps
+        )
+        return bert_adamw(sched)
+    if tc.optimizer == "adam_staircase":
+        sched = exponential_staircase_schedule(tc.learning_rate)
+        return optax.adam(sched)
+    raise ValueError(tc.optimizer)
+
+
+def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Callable:
+    name = model.name
+
+    def loss_fn(params, batch, rng):
+        out = model.apply(params, batch, model.config, precision, rng=rng)
+        metrics = {}
+        if name == "imagebert_a":
+            loss = heads.nsp_loss(
+                params["cls"]["seq_relationship"], out["pooled"], batch["labels"]
+            )
+            if tc.ms_loss_weight:
+                loss = loss + tc.ms_loss_weight * ms_loss(batch["labels"], out["pooled"])
+        elif name in ("imagebert_b", "imagebert_c"):
+            loss = heads.am_loss(
+                params["cls"]["seq_relationship"], out["pooled"], batch["labels"]
+            )
+        elif name == "lxmert":
+            log_probs = jax.nn.log_softmax(out["logit"], axis=-1)
+            one_hot = jax.nn.one_hot(batch["labels"], 2, dtype=jnp.float32)
+            loss = -jnp.mean(jnp.sum(one_hot * log_probs, axis=-1))
+        else:
+            raise ValueError(name)
+        preds = jnp.argmax(out["probs"], axis=-1)
+        metrics["accuracy"] = jnp.mean((preds == batch["labels"]).astype(jnp.float32))
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return loss_fn
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: ModelSpec,
+        tc: TrainConfig | None = None,
+        mesh: Mesh | None = None,
+        precision: Precision = Precision.bf16(),
+    ):
+        self.model = model
+        self.tc = tc if tc is not None else recipe_for(model.name)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.precision = precision
+        self.tx = make_optimizer(self.tc)
+        self._loss_fn = make_loss_fn(model, self.tc, precision)
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated(self.mesh)
+
+        tc_ = self.tc
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _step(state: TrainState, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
+            if tc_.clip == "global_norm":
+                grads, gnorm = clip_by_global_norm(grads, tc_.clip_value)
+                metrics["grad_norm"] = gnorm
+            elif tc_.clip == "value":
+                grads = clip_by_value(grads, tc_.clip_value)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = (
+                ema_update(state.ema, params, tc_.ema_decay)
+                if state.ema is not None
+                else None
+            )
+            return TrainState(params, opt_state, ema, state.step + 1), metrics
+
+        self._step = _step
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        params = jax.device_put(self.model.init_params(rng), self._replicated)
+        opt_state = jax.device_put(self.tx.init(params), self._replicated)
+        ema = ema_init(params) if self.tc.ema_decay else None
+        return TrainState(params, opt_state, ema, jnp.zeros((), jnp.int32))
+
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+        device_batch = {
+            k: jax.device_put(v, self._batch_sharding)
+            for k, v in batch.items()
+            if k not in ("product_id", "query_id", "valid")
+        }
+        return self._step(state, device_batch, rng)
+
+    def eval_params(self, state: TrainState):
+        return state.ema.shadow if state.ema is not None else state.params

@@ -7,7 +7,10 @@ dry-runs ``__graft_entry__.dryrun_multichip``. Must run before jax imports.
 
 import os
 
+# NB: on this host the axon TPU plugin ignores JAX_PLATFORMS; the legacy
+# JAX_PLATFORM_NAME is what actually forces the CPU backend.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +24,13 @@ import pytest
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
+
+# XLA compiles are slow on this host; the persistent cache makes re-runs of
+# the suite pay compile cost only once.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(REPO_ROOT / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE_DIR = Path(os.environ.get("REFERENCE_DIR", "/root/reference"))
 

@@ -28,6 +28,23 @@ TINY_L = LxmertConfig(bert=TINY, l_layers=2, x_layers=2, r_layers=2,
 
 B = 3
 
+_JIT_CACHE = {}
+
+
+def _japply(module, cfg, prec=None):
+    prec = prec or Precision.f32()
+    key = (module.__name__, cfg, prec)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(lambda p, b: module.apply(p, b, cfg, prec))
+    return _JIT_CACHE[key]
+
+
+def _jinit(module, cfg):
+    key = ("init", module.__name__, cfg)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(lambda r: module.init_params(r, cfg))
+    return _JIT_CACHE[key]
+
 
 def _rng(seed):
     return np.random.default_rng(seed)
@@ -68,19 +85,19 @@ def _batch_l(rng):
 
 def test_imagebert_a_matches_spec():
     cfg = TINY
-    params = imagebert_a.init_params(jax.random.key(0), cfg)
+    params = _jinit(imagebert_a, TINY)(jax.random.key(0))
     # featureemb in tiny config still expects 2048 input: fine.
     batch = _batch_a(_rng(0))
-    fast = np.asarray(imagebert_a.apply(params, batch, cfg, Precision.f32())["score"])
+    fast = np.asarray(_japply(imagebert_a, cfg)(params, batch)["score"])
     slow = specs.imagebert_a_score(params, batch, cfg)
     np.testing.assert_allclose(fast, slow, atol=1e-4, rtol=1e-3)
 
 
 def test_imagebert_b_matches_spec():
     cfg = TINY
-    params = imagebert_b.init_params(jax.random.key(1), cfg)
+    params = _jinit(imagebert_b, TINY)(jax.random.key(1))
     batch = _batch_b(_rng(1))
-    fast = np.asarray(imagebert_b.apply(params, batch, cfg, Precision.f32())["score"])
+    fast = np.asarray(_japply(imagebert_b, cfg)(params, batch)["score"])
     slow = specs.imagebert_b_score(params, batch, cfg)
     np.testing.assert_allclose(fast, slow, atol=1e-4, rtol=1e-3)
 
@@ -89,11 +106,11 @@ def test_imagebert_b_margin_depends_on_fed_label():
     # The AM head applies the margin to the fed label's class; feeding 0 vs 1
     # must change scores (reference feeds 1 on testB).
     cfg = TINY
-    params = imagebert_b.init_params(jax.random.key(2), cfg)
+    params = _jinit(imagebert_b, TINY)(jax.random.key(2))
     batch = _batch_b(_rng(2))
-    s1 = np.asarray(imagebert_b.apply(params, batch, cfg)["score"])
+    s1 = np.asarray(_japply(imagebert_b, cfg)(params, batch)["score"])
     batch0 = dict(batch, labels=np.zeros((B,), np.int32))
-    s0 = np.asarray(imagebert_b.apply(params, batch0, cfg)["score"])
+    s0 = np.asarray(_japply(imagebert_b, cfg)(params, batch0)["score"])
     # cos is clipped to <=1 > 0.35 rarely at random init; just require the
     # code path to be consistent with the spec for both labels.
     slow0 = specs.imagebert_b_score(params, batch0, cfg)
@@ -102,9 +119,9 @@ def test_imagebert_b_margin_depends_on_fed_label():
 
 
 def test_lxmert_matches_spec():
-    params = lxmert.init_params(jax.random.key(3), TINY_L)
+    params = _jinit(lxmert, TINY_L)(jax.random.key(3))
     batch = _batch_l(_rng(3))
-    fast = np.asarray(lxmert.apply(params, batch, TINY_L, Precision.f32())["score"])
+    fast = np.asarray(_japply(lxmert, TINY_L)(params, batch)["score"])
     slow = specs.lxmert_score(params, batch, TINY_L)
     np.testing.assert_allclose(fast, slow, atol=1e-4, rtol=1e-3)
 
@@ -113,34 +130,34 @@ def test_imagebert_a_padding_not_masked():
     # Reference quirk: A attends to padding (all-ones mask). Changing a padded
     # box feature MUST change the score.
     cfg = TINY
-    params = imagebert_a.init_params(jax.random.key(4), cfg)
+    params = _jinit(imagebert_a, TINY)(jax.random.key(4))
     batch = _batch_a(_rng(4))
-    s1 = np.asarray(imagebert_a.apply(params, batch, cfg)["score"])
+    s1 = np.asarray(_japply(imagebert_a, cfg)(params, batch)["score"])
     batch2 = dict(batch, features=batch["features"] + 1.0)
-    s2 = np.asarray(imagebert_a.apply(params, batch2, cfg)["score"])
+    s2 = np.asarray(_japply(imagebert_a, cfg)(params, batch2)["score"])
     assert not np.allclose(s1, s2)
 
 
 def test_imagebert_b_padding_is_masked():
     # B masks padding: pair rows with num_boxes=k must ignore boxes >= k.
     cfg = TINY
-    params = imagebert_b.init_params(jax.random.key(5), cfg)
+    params = _jinit(imagebert_b, TINY)(jax.random.key(5))
     batch = _batch_b(_rng(5))
     batch["num_boxes"] = np.full((B,), 4, np.int32)
-    s1 = np.asarray(imagebert_b.apply(params, batch, cfg)["score"])
+    s1 = np.asarray(_japply(imagebert_b, cfg)(params, batch)["score"])
     feats = batch["features"].copy()
     feats[:, 6:, :] += 10.0  # mutate only masked boxes
     # NB: masked boxes still contribute nothing to attention, but they do NOT
     # exist in the residual stream for positions < 20 -- mutation is invisible.
-    s2 = np.asarray(imagebert_b.apply(params, dict(batch, features=feats), cfg)["score"])
+    s2 = np.asarray(_japply(imagebert_b, cfg)(params, dict(batch, features=feats))["score"])
     # CLS (pos 0) never attends to masked box tokens => identical scores.
     np.testing.assert_allclose(s1, s2, atol=2e-6)
 
 
 def test_bf16_precision_close_to_f32():
     cfg = TINY
-    params = imagebert_a.init_params(jax.random.key(6), cfg)
+    params = _jinit(imagebert_a, TINY)(jax.random.key(6))
     batch = _batch_a(_rng(6))
-    f32 = np.asarray(imagebert_a.apply(params, batch, cfg, Precision.f32())["score"])
-    bf16 = np.asarray(imagebert_a.apply(params, batch, cfg, Precision.bf16())["score"])
+    f32 = np.asarray(_japply(imagebert_a, cfg)(params, batch)["score"])
+    bf16 = np.asarray(_japply(imagebert_a, cfg, Precision.bf16())(params, batch)["score"])
     np.testing.assert_allclose(f32, bf16, atol=5e-2)

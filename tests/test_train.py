@@ -1,0 +1,166 @@
+"""Training-stack tests: BERT-Adam semantics, schedules, EMA, MS loss,
+and a sharded end-to-end train step on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+    BertConfig,
+    Precision,
+    get_model,
+)
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.registry import ModelSpec
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import imagebert_b
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import make_mesh
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import (
+    TrainConfig,
+    Trainer,
+    bert_adamw,
+    decay_mask,
+    ema_init,
+    ema_update,
+    exponential_staircase_schedule,
+    ms_loss,
+    polynomial_warmup_schedule,
+)
+
+TINY = BertConfig(
+    vocab_size=97,
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=41,
+    max_position_embeddings=64,
+)
+
+
+def test_bert_adam_no_bias_correction():
+    # One step from zero moments: update = lr * (m/(sqrt(v)+eps) + wd*p)
+    # with m=(1-b1)*g, v=(1-b2)*g^2 -- NO bias correction (optimization.py:169-190).
+    params = {"w": {"kernel": jnp.ones((3,))}}
+    grads = {"w": {"kernel": jnp.full((3,), 2.0)}}
+    lr, wd, b1, b2, eps = 0.1, 0.01, 0.9, 0.999, 1e-6
+    tx = bert_adamw(lr, weight_decay_rate=wd, epsilon=eps)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    m = (1 - b1) * 2.0
+    v = (1 - b2) * 4.0
+    expected = -lr * (m / (np.sqrt(v) + eps) + wd * 1.0)
+    np.testing.assert_allclose(np.asarray(updates["w"]["kernel"]), expected, rtol=1e-6)
+
+
+def test_decay_mask_excludes_layernorm_and_bias():
+    params = {
+        "bert": {
+            "encoder": {"dense": {"kernel": 1, "bias": 2}},
+            "embeddings": {"LayerNorm": {"gamma": 3, "beta": 4}},
+        },
+        "cls": {"output_bias": 5, "output_weights": 6},
+        "kdd_conv1": {"weights": 7, "biases": 8},
+    }
+    mask = decay_mask(params)
+    assert mask["bert"]["encoder"]["dense"]["kernel"] is True
+    assert mask["bert"]["encoder"]["dense"]["bias"] is False
+    assert mask["bert"]["embeddings"]["LayerNorm"]["gamma"] is False
+    assert mask["cls"]["output_bias"] is False
+    assert mask["cls"]["output_weights"] is True
+    assert mask["kdd_conv1"]["biases"] is False
+
+
+def test_polynomial_warmup_schedule():
+    s = polynomial_warmup_schedule(1e-4, 1000, 100)
+    assert float(s(0)) == 0.0
+    assert float(s(50)) == pytest.approx(0.5e-4)
+    assert float(s(100)) == pytest.approx(0.9e-4)  # decay branch at boundary
+    assert float(s(1000)) == pytest.approx(0.0)
+
+
+def test_exponential_staircase():
+    s = exponential_staircase_schedule(2e-5, 2500, 0.94)
+    assert float(s(0)) == pytest.approx(2e-5)
+    assert float(s(2499)) == pytest.approx(2e-5)
+    assert float(s(2500)) == pytest.approx(2e-5 * 0.94)
+    assert float(s(5000)) == pytest.approx(2e-5 * 0.94**2)
+
+
+def test_ema_matches_tf_num_updates_ramp():
+    params = {"w": jnp.zeros(())}
+    state = ema_init(params)
+    # TF: effective decay = min(decay, (1+n)/(10+n)); first update n=0 -> 0.1
+    state = ema_update(state, {"w": jnp.ones(())}, decay=0.997)
+    np.testing.assert_allclose(float(state.shadow["w"]), 0.9)  # 0 - 0.9*(0-1)
+    state = ema_update(state, {"w": jnp.ones(())}, decay=0.997)
+    # n=1 -> eff = 2/11
+    np.testing.assert_allclose(float(state.shadow["w"]), 0.9 + (1 - 2 / 11) * 0.1, rtol=1e-6)
+
+
+def test_ms_loss_matches_reference_math():
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((8, 16)).astype(np.float32)
+    labels = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    # numpy transcription of msloss.py
+    x = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    adj = labels[:, None] == labels[None, :]
+    mask_pos = adj.astype(np.float32) - np.eye(8, dtype=np.float32)
+    mask_neg = (~adj).astype(np.float32)
+    sim = np.maximum(x @ x.T, 0.0)
+    pos_exp = np.where(mask_pos > 0, np.exp(-2.0 * (sim * mask_pos - 1.0)), 0.0)
+    neg_exp = np.where(mask_neg > 0, np.exp(50.0 * (sim * mask_neg - 1.0)), 0.0)
+    expected = np.mean(
+        np.log1p(pos_exp.sum(1)) / 2.0 + np.log1p(neg_exp.sum(1)) / 50.0
+    )
+    got = float(ms_loss(jnp.asarray(labels), jnp.asarray(emb)))
+    assert got == pytest.approx(expected, rel=1e-3)
+
+
+def _tiny_spec(name: str) -> ModelSpec:
+    base = get_model(name)
+    cfg = TINY
+    if name in ("imagebert_b", "imagebert_c"):
+        return ModelSpec(
+            name,
+            cfg,
+            init=lambda rng: imagebert_b.init_params(rng, cfg),
+            apply=imagebert_b.apply,
+            featurizer_layout="imagebert_b",
+        )
+    raise NotImplementedError
+
+
+def test_train_step_runs_on_8_device_mesh():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    spec = _tiny_spec("imagebert_b")
+    trainer = Trainer(spec, TrainConfig(optimizer="adam_staircase", clip="value",
+                                        ema_decay=0.997),
+                      mesh=mesh, precision=Precision.f32())
+    state = trainer.init_state(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    B = 16
+    batch = {
+        "input_ids": rng.integers(0, TINY.vocab_size, (B, 20)).astype(np.int32),
+        "segment_ids": np.array([[0] * 20 + [1] * 10] * B, np.int32),
+        "boxes": rng.standard_normal((B, 10, 5)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+        "label_ids": rng.integers(0, TINY.vocab_size, (B, 10, 8)).astype(np.int32),
+        "len_query": rng.integers(3, 21, (B,)).astype(np.int32),
+        "num_boxes": rng.integers(1, 11, (B,)).astype(np.int32),
+        "labels": rng.integers(0, 2, (B,)).astype(np.int32),
+    }
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    losses = []
+    for i in range(3):
+        state, metrics = trainer.train_step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 3
+    assert state.ema is not None
+    # parameters actually moved, and EMA shadows lag behind them
+    p3 = jax.tree.leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p3))
+    s3 = jax.tree.leaves(state.ema.shadow)[0]
+    assert not np.allclose(np.asarray(s3), np.asarray(p3))
