@@ -42,21 +42,25 @@ def main() -> None:
     }
     batch = jax.device_put(batch)
 
+    prec = Precision.bf16()
+    bf16_params = jax.tree.map(
+        lambda x: x.astype("bfloat16") if x.dtype == np.float32 else x, params
+    )
+
     @jax.jit
     def score(params, batch):
-        return model.apply(params, batch, cfg, Precision.bf16())["score"]
+        return model.apply(params, batch, cfg, prec)["score"]
 
-    # warmup / compile
-    score(params, batch).block_until_ready()
-    for _ in range(2):
-        score(params, batch).block_until_ready()
+    # warmup / compile; NB: on this platform block_until_ready can return
+    # before execution finishes, so every timing forces a host fetch.
+    float(np.asarray(score(bf16_params, batch)).sum())
+    float(np.asarray(score(bf16_params, batch)).sum())
 
     n_iters = 30
     t0 = time.perf_counter()
-    out = None
+    checksum = 0.0
     for _ in range(n_iters):
-        out = score(params, batch)
-    out.block_until_ready()
+        checksum += float(np.asarray(score(bf16_params, batch))[0])
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()

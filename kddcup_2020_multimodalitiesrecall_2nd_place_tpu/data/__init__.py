@@ -1,5 +1,6 @@
 from .featurize import Featurizer, pad_batch, stack_examples
 from .labels import QueryLabelIndex, load_multimodal_labels
+from .sampling import HardNegativeSampler, SamplerConfig
 from .pipeline import (
     PipelineStats,
     PrefetchIterator,
@@ -20,6 +21,8 @@ from .tsv import (
 
 __all__ = [
     "Featurizer",
+    "HardNegativeSampler",
+    "SamplerConfig",
     "MAX_BOXES",
     "MAX_LABEL_TOKENS",
     "MAX_QUERY_LEN_AB",

@@ -87,7 +87,7 @@ class Featurizer:
             "boxes": pad_rows(ex.boxes_5(), MAX_BOXES).astype(np.float32),
             "features": pad_rows(ex.features, MAX_BOXES).astype(np.float32),
             "label_ids": label_ids,
-            "next_sentence_labels": np.int32(label),
+            "labels": np.int32(label),
             "product_id": np.int64(ex.product_id),
             "query_id": np.int64(ex.query_id),
         }

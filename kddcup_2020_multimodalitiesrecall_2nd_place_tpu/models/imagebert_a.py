@@ -65,12 +65,22 @@ def init_params(rng: jax.Array, cfg: BertConfig) -> Params:
 
 
 def _label_mix(emb_table: jax.Array, mix: jax.Array, label_ids: jax.Array) -> jax.Array:
-    """The reshape4D quirk: [B,10,8] ids -> [B,10,768] mixed embeddings."""
+    """The reshape4D quirk: [B,10,8] ids -> [B,10,768] mixed embeddings.
+
+    TF's ``reshape(-1, 8) @ mix`` groups 8 *consecutive hidden dims* (C
+    order), i.e. out[b,n, t*96+g] = sum_j e[b,n,t, g*8+j] * mix[j]. A literal
+    thin [.., 8] matmul pads catastrophically on TPU (8 -> 128 lanes, 16x
+    HBM blowup), so the same contraction is expressed over the last axis of
+    a [B,10,8,96,8] view -- bit-identical math, sane layout.
+    """
     e = emb_table[label_ids]  # [B, 10, 8, H]
-    b = e.shape[0]
-    h = e.shape[-1]
-    flat = e.reshape(-1, mix.shape[0])  # groups of 8 consecutive dims (C order)
-    mixed = jnp.dot(flat, mix.astype(flat.dtype), precision=jax.lax.Precision.HIGHEST)
+    b, n, t, h = e.shape
+    g = h // t  # 96 groups of 8 consecutive dims per token
+    e5 = e.reshape(b, n, t, g, t)
+    mixed = jnp.einsum(
+        "bntgj,j->bntg", e5, mix[:, 0].astype(e5.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return mixed.reshape(b, MAX_BOXES, h)
 
 

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Score query-product TSV pairs with one model of the ensemble.
+
+TPU-native replacement for the reference scorer scripts
+(``run_pretraining_predict_score.py``, ``evaluate_normal.py[_sen2fs]``,
+``lxmert/src/tasks/kdd.py``): one compiled program, fixed batch shape,
+prefetching host pipeline, output in the reference score-file format.
+
+Example:
+  python scripts/score.py --model imagebert_a --tsv data/testB/testB.tsv \
+      --labels data/multimodal_labels.txt --checkpoint models/a.npz \
+      --out prediction_result/testBscore_imagebert.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def load_params(model_name: str, path: str | None, spec):
+    import jax
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
+        imagebert_a_from_tf,
+        imagebert_b_from_tf,
+        load_npz,
+        lxmert_from_torch,
+        read_tf_checkpoint,
+        read_torch_state_dict,
+    )
+
+    if path is None:
+        print("WARNING: no checkpoint given; using random init", file=sys.stderr)
+        return spec.init_params(jax.random.key(0))
+    p = Path(path)
+    if p.suffix == ".npz":
+        flat_or_tree = load_npz(p)
+        # npz may hold either a ready param tree or a flat TF var dict
+        if "bert" in flat_or_tree:
+            return flat_or_tree
+        flat = {k: v for k, v in flat_or_tree.items()}
+    elif p.suffix in (".pth", ".pt", ".bin"):
+        sd = read_torch_state_dict(p)
+        return lxmert_from_torch(sd, spec.config)
+    else:
+        flat = read_tf_checkpoint(str(p))
+    if model_name == "imagebert_a":
+        return imagebert_a_from_tf(flat, spec.config)
+    if model_name in ("imagebert_b", "imagebert_c"):
+        return imagebert_b_from_tf(flat, spec.config, ema=True)
+    return lxmert_from_torch(flat, spec.config)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True,
+                    choices=["imagebert_a", "imagebert_b", "imagebert_c", "lxmert"])
+    ap.add_argument("--tsv", required=True, nargs="+")
+    ap.add_argument("--labels", required=True, help="multimodal_labels.txt")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
+    args = ap.parse_args()
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
+        Featurizer,
+        load_multimodal_labels,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import (
+        ScoringEngine,
+        ScoringStats,
+        write_scores_csv,
+        write_scores_tsv,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.tokenization import (
+        FullTokenizer,
+    )
+
+    spec = get_model(args.model)
+    tok = (
+        FullTokenizer.hf_style(VOCAB_PATH)
+        if args.model == "lxmert"
+        else FullTokenizer.google_style(VOCAB_PATH)
+    )
+    featurizer = Featurizer(
+        tok, load_multimodal_labels(args.labels), sen2forest=spec.sen2forest
+    )
+    params = load_params(args.model, args.checkpoint, spec)
+    prec = Precision.f32() if args.precision == "f32" else Precision.bf16()
+    engine = ScoringEngine(spec, params, precision=prec)
+    stats = ScoringStats()
+    result = engine.score_files(args.tsv, featurizer, args.batch_size, stats=stats)
+    writer = write_scores_csv if args.model == "lxmert" else write_scores_tsv
+    writer(result, args.out)
+    print(
+        json.dumps(
+            {
+                "pairs": stats.pairs,
+                "pairs_per_second": round(stats.pairs_per_second, 1),
+                "parse_errors": stats.pipeline.errors,
+                "out": args.out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

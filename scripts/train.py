@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Train one model of the ensemble with hard-negative sampling.
+
+TPU-native replacement for the reference training drivers
+(``run_pretraining_predict.py`` train branch, zk ``train_normal.py``):
+pjit data-parallel step over the device mesh, per-model optimizer recipes,
+EMA for B/C, periodic Orbax checkpoints and JSONL metrics.
+
+  python scripts/train.py --model imagebert_b --train-tsv data/train/*.tsv \
+      --labels data/multimodal_labels.txt --query-labels user_data/query_labels.txt \
+      --steps 1000 --batch-size 256 --out runs/b
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True,
+                    choices=["imagebert_a", "imagebert_b", "imagebert_c", "lxmert"])
+    ap.add_argument("--train-tsv", required=True, nargs="+")
+    ap.add_argument("--labels", required=True)
+    ap.add_argument("--query-labels", required=True)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint-every", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import save_pytree
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
+        Featurizer,
+        HardNegativeSampler,
+        QueryLabelIndex,
+        SamplerConfig,
+        load_multimodal_labels,
+        pad_batch,
+        stack_examples,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import get_model
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.tokenization import (
+        FullTokenizer,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import Trainer
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.utils import log_metrics
+
+    spec = get_model(args.model)
+    tok = (
+        FullTokenizer.hf_style(VOCAB_PATH)
+        if args.model == "lxmert"
+        else FullTokenizer.google_style(VOCAB_PATH)
+    )
+    featurizer = Featurizer(
+        tok, load_multimodal_labels(args.labels), sen2forest=spec.sen2forest
+    )
+    qindex = QueryLabelIndex.load(args.query_labels)
+    sampler_cfg = (
+        SamplerConfig.imagebert_b(args.seed)
+        if args.model in ("imagebert_b", "imagebert_c")
+        else SamplerConfig.imagebert_a(args.seed)
+    )
+    sampler = HardNegativeSampler(featurizer, qindex, sampler_cfg)
+
+    trainer = Trainer(spec)
+    state = trainer.init_state(jax.random.key(args.seed))
+
+    def batches():
+        while True:  # epochs
+            def lines():
+                for path in args.train_tsv:
+                    with open(path, "r", encoding="utf-8") as f:
+                        yield from f
+
+            buf = []
+            for example in sampler.examples(lines()):
+                buf.append(example)
+                if len(buf) == args.batch_size:
+                    yield pad_batch(stack_examples(buf), args.batch_size)
+                    buf = []
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    metrics_file = open(out_dir / "metrics.jsonl", "a")
+    rngs = jax.random.split(jax.random.key(args.seed + 1), args.steps)
+    for step, batch in enumerate(itertools.islice(batches(), args.steps)):
+        # drop loader-only fields the model does not consume
+        batch = {k: v for k, v in batch.items() if not k.startswith("masked_lm")
+                 and not k.startswith("word_match")}
+        state, metrics = trainer.train_step(state, batch, rngs[step])
+        if step % 20 == 0:
+            log_metrics(step, metrics, metrics_file)
+            log_metrics(step, metrics)
+        if (step + 1) % args.checkpoint_every == 0 or step + 1 == args.steps:
+            save_pytree(out_dir / f"step_{step + 1}", trainer.eval_params(state))
+    print(f"trained {args.steps} steps; sampler stats: {sampler.stats}")
+
+
+if __name__ == "__main__":
+    main()
