@@ -72,8 +72,50 @@ def get_lib():
         return lib
 
 
-def parse_pairs_native(buf: bytes) -> dict[str, np.ndarray]:
-    """Parse a whole TSV buffer into dense arrays (see preproc.cpp)."""
+def _split_at_lines(buf: bytes, n_chunks: int) -> list[bytes]:
+    """Split a buffer into ~equal chunks on line boundaries."""
+    if n_chunks <= 1 or len(buf) < 1 << 20:
+        return [buf]
+    chunks = []
+    start = 0
+    step = len(buf) // n_chunks
+    for i in range(1, n_chunks):
+        cut = buf.find(b"\n", min(start + step, len(buf) - 1))
+        if cut == -1:
+            break
+        chunks.append(buf[start : cut + 1])
+        start = cut + 1
+    chunks.append(buf[start:])
+    return [c for c in chunks if c]
+
+
+def parse_pairs_native(buf: bytes, n_threads: int | None = None) -> dict[str, np.ndarray]:
+    """Parse a whole TSV buffer into dense arrays (see preproc.cpp).
+
+    The C call releases the GIL, so large buffers are split at line
+    boundaries and parsed by a thread pool.
+    """
+    import concurrent.futures as cf
+    import os
+
+    n_threads = n_threads if n_threads is not None else min(8, os.cpu_count() or 1)
+    chunks = _split_at_lines(buf, n_threads)
+    if len(chunks) > 1:
+        with cf.ThreadPoolExecutor(max_workers=len(chunks)) as pool:
+            parts = list(pool.map(lambda c: _parse_single(c), chunks))
+        out: dict = {}
+        for k in parts[0]:
+            if k == "n_errors":
+                out[k] = sum(p[k] for p in parts)
+            elif k == "queries":
+                out[k] = [q for p in parts for q in p[k]]
+            else:
+                out[k] = np.concatenate([p[k] for p in parts], axis=0)
+        return out
+    return _parse_single(buf)
+
+
+def _parse_single(buf: bytes) -> dict[str, np.ndarray]:
     lib = get_lib()
     n = int(lib.count_rows(buf, len(buf)))
     out = {

@@ -114,11 +114,33 @@ class ScoringEngine:
         featurizer: Featurizer,
         batch_size: int,
         stats: ScoringStats | None = None,
+        use_native: bool | None = None,
     ) -> dict[str, dict[str, float]]:
-        """Full scorer run: files -> {query_id: {product_id: score}}."""
+        """Full scorer run: files -> {query_id: {product_id: score}}.
+
+        ``use_native=None`` tries the C++ fused parser and falls back to the
+        per-example python pipeline if the library cannot build.
+        """
         stats = stats if stats is not None else ScoringStats()
-        fz = featurizer.for_model(self.model.name)
-        batches = batches_from_files(paths, fz, batch_size, stats=stats.pipeline)
+        batches = None
+        if use_native or use_native is None:
+            try:
+                from ..data.fast_pipeline import native_batches_from_files
+                from ..data.pipeline import PrefetchIterator
+
+                batches = PrefetchIterator(
+                    native_batches_from_files(
+                        paths, featurizer, self.model.name, batch_size,
+                        stats=stats.pipeline,
+                    ),
+                    prefetch=4,
+                )
+            except Exception:
+                if use_native:
+                    raise
+        if batches is None:
+            fz = featurizer.for_model(self.model.name)
+            batches = batches_from_files(paths, fz, batch_size, stats=stats.pipeline)
         result: dict[str, dict[str, float]] = {}
         t0 = time.perf_counter()
         for qids, pids, scores in self.score_stream(batches, stats):
