@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.activations import ACTIVATIONS
-from ..ops.attention import mha_xla, merge_heads, split_heads
+from ..ops.attention import merge_heads, mha, split_heads
 
 Params = dict[str, Any]
 
@@ -169,7 +169,7 @@ def attention_block(
     k = split_heads(dense(p["key"], ctx, prec), n)
     v = split_heads(dense(p["value"], ctx, prec), n)
     attn_rng, hid_rng = dropout_rngs if dropout_rngs else (None, None)
-    o = mha_xla(
+    o = mha(
         q.astype(prec.compute_dtype),
         k.astype(prec.compute_dtype),
         v.astype(prec.compute_dtype),

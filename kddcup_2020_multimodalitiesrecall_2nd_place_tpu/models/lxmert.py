@@ -199,29 +199,54 @@ def apply(
     label_emb = bert_embed(emb, batch["label_ids"], cfg, rng=lab_rng)
     visn = visual_encoder(enc["visn_fc"], batch, label_emb, cfg, prec, vis_rng)
 
-    def lang_layer(h, lp):
-        h = attention_block(lp["attention"], h, h, lang_bias, cfg, prec)
-        return ffn_block(lp["ffn"], h, cfg, prec, act=ACT)
+    def _rngs3(r):
+        """(attn_rng, hidden_rng), ffn_rng for one block, or Nones."""
+        if r is None:
+            return None, None
+        a, h, f = jax.random.split(r, 3)
+        return (a, h), f
 
-    def visn_layer(h, lp):
-        h = attention_block(lp["attention"], h, h, visn_bias, cfg, prec)
-        return ffn_block(lp["ffn"], h, cfg, prec, act=ACT)
+    def lang_layer(carry, lp):
+        h, r = carry
+        r, step = jax.random.split(r) if r is not None else (None, None)
+        att_rngs, ffn_rng = _rngs3(step)
+        h = attention_block(lp["attention"], h, h, lang_bias, cfg, prec, att_rngs)
+        h = ffn_block(lp["ffn"], h, cfg, prec, act=ACT, hid_rng=ffn_rng)
+        return (h, r)
 
-    lang = _scan_stack(enc["layer"], lang_layer, lang.astype(jnp.float32))
-    visn = _scan_stack(enc["r_layers"], visn_layer, visn.astype(jnp.float32))
+    def visn_layer(carry, lp):
+        h, r = carry
+        r, step = jax.random.split(r) if r is not None else (None, None)
+        att_rngs, ffn_rng = _rngs3(step)
+        h = attention_block(lp["attention"], h, h, visn_bias, cfg, prec, att_rngs)
+        h = ffn_block(lp["ffn"], h, cfg, prec, act=ACT, hid_rng=ffn_rng)
+        return (h, r)
+
+    if layer_rng is not None:
+        l_rng, r_rng, x_rng = jax.random.split(layer_rng, 3)
+    else:
+        l_rng = r_rng = x_rng = None
+    lang, _ = _scan_stack(enc["layer"], lang_layer, (lang.astype(jnp.float32), l_rng))
+    visn, _ = _scan_stack(enc["r_layers"], visn_layer, (visn.astype(jnp.float32), r_rng))
 
     def x_layer(carry, lp):
-        l, v = carry
+        l, v, r = carry
+        if r is not None:
+            r, s = jax.random.split(r)
+            ks = jax.random.split(s, 6)
+            rng_of = lambda i: _rngs3(ks[i])
+        else:
+            rng_of = lambda i: (None, None)
         # shared cross-attention module, both directions (modeling.py:460-464)
-        l2 = attention_block(lp["visual_attention"], l, v, visn_bias, cfg, prec)
-        v2 = attention_block(lp["visual_attention"], v, l, lang_bias, cfg, prec)
-        l3 = attention_block(lp["lang_self_att"], l2, l2, lang_bias, cfg, prec)
-        v3 = attention_block(lp["visn_self_att"], v2, v2, visn_bias, cfg, prec)
-        l4 = ffn_block(lp["lang_ffn"], l3, cfg, prec, act=ACT)
-        v4 = ffn_block(lp["visn_ffn"], v3, cfg, prec, act=ACT)
-        return (l4, v4)
+        l2 = attention_block(lp["visual_attention"], l, v, visn_bias, cfg, prec, rng_of(0)[0])
+        v2 = attention_block(lp["visual_attention"], v, l, lang_bias, cfg, prec, rng_of(1)[0])
+        l3 = attention_block(lp["lang_self_att"], l2, l2, lang_bias, cfg, prec, rng_of(2)[0])
+        v3 = attention_block(lp["visn_self_att"], v2, v2, visn_bias, cfg, prec, rng_of(3)[0])
+        l4 = ffn_block(lp["lang_ffn"], l3, cfg, prec, act=ACT, hid_rng=rng_of(4)[1])
+        v4 = ffn_block(lp["visn_ffn"], v3, cfg, prec, act=ACT, hid_rng=rng_of(5)[1])
+        return (l4, v4, r)
 
-    lang, visn = _scan_stack(enc["x_layers"], x_layer, (lang, visn))
+    lang, visn, _ = _scan_stack(enc["x_layers"], x_layer, (lang, visn, x_rng))
 
     pooled = pooler(p["bert"]["pooler"], lang, prec)
     if use_am_head:

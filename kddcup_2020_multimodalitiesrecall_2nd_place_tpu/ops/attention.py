@@ -64,6 +64,29 @@ def mha_xla(
     ).astype(v.dtype)
 
 
+_ATTENTION_BACKEND = "xla"
+
+
+def set_attention_backend(name: str) -> None:
+    """Select "xla" (default) or "pallas" for encoder attention.
+
+    The Pallas kernel is tested bit-close to the XLA path; whole-model
+    benchmarks pick the winner per hardware (see ops/pallas_attention.py).
+    """
+    global _ATTENTION_BACKEND
+    assert name in ("xla", "pallas"), name
+    _ATTENTION_BACKEND = name
+
+
+def mha(q, k, v, bias=None, dropout_rate=0.0, dropout_rng=None, precision=None):
+    """Backend-dispatching attention used by the encoder blocks."""
+    if _ATTENTION_BACKEND == "pallas" and dropout_rng is None:
+        from .pallas_attention import mha_pallas
+
+        return mha_pallas(q, k, v, bias)
+    return mha_xla(q, k, v, bias, dropout_rate, dropout_rng, precision)
+
+
 def mask_to_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     """[.., T] 1/0 keep-mask -> additive bias with -10000 at masked slots.
 
