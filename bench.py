@@ -42,6 +42,12 @@ def main() -> None:
     }
     batch = jax.device_put(batch)
 
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.attention import (
+        set_attention_backend,
+    )
+
+    if jax.default_backend() == "tpu":
+        set_attention_backend("pallas")
     prec = Precision.bf16()
     bf16_params = jax.tree.map(
         lambda x: x.astype("bfloat16") if x.dtype == np.float32 else x, params

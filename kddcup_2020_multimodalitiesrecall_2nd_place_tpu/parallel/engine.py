@@ -19,6 +19,7 @@ from typing import Iterable, Iterator
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data import Featurizer, PipelineStats, batches_from_files
@@ -50,10 +51,22 @@ class ScoringEngine:
         mesh: Mesh | None = None,
         precision: Precision = Precision.bf16(),
         donate_batch: bool = True,
+        attention_backend: str | None = None,
     ):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.precision = precision
+        if attention_backend is None:
+            # the Pallas batch-blocked kernel wins ~20% whole-model on TPU in
+            # bf16; strict-parity f32 and non-TPU backends stay on XLA
+            on_tpu = self.mesh.devices.flat[0].platform == "tpu"
+            attention_backend = (
+                "pallas" if on_tpu and precision.compute_dtype != jnp.float32 else "xla"
+            )
+        from ..ops.attention import set_attention_backend
+
+        set_attention_backend(attention_backend)
+        self.attention_backend = attention_backend
         self.params = jax.device_put(params, replicated(self.mesh))
         self._batch_sharding = batch_sharding(self.mesh)
 
