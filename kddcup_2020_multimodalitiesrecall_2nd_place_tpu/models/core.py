@@ -110,6 +110,10 @@ def layer_norm_init(dim: int) -> Params:
 
 
 def dense(p: Params, x: jax.Array, prec: Precision) -> jax.Array:
+    if "kernel_q8" in p:  # int8 serving path (ops/quant.py)
+        from ..ops.quant import dense_q8
+
+        return dense_q8(p, x)
     y = jnp.dot(
         x.astype(prec.compute_dtype),
         p["kernel"].astype(prec.compute_dtype),

@@ -76,10 +76,12 @@ def _label_mix(emb_table: jax.Array, mix: jax.Array, label_ids: jax.Array) -> ja
     e = emb_table[label_ids]  # [B, 10, 8, H]
     b, n, t, h = e.shape
     g = h // t  # 96 groups of 8 consecutive dims per token
-    e5 = e.reshape(b, n, t, g, t)
+    # out[b,n,t,gi] = sum_j e[b,n,t, gi*8+j] * mix[j]  ==  e_t @ kron(I_g, mix)
+    # -- a [H, 96] matmul with sane TPU layout (a literal [..., 8] view pads
+    # 16x and OOMs at scoring batch sizes).
+    mix_mat = jnp.kron(jnp.eye(g, dtype=e.dtype), mix.astype(e.dtype))  # [H, g]
     mixed = jnp.einsum(
-        "bntgj,j->bntg", e5, mix[:, 0].astype(e5.dtype),
-        precision=jax.lax.Precision.HIGHEST,
+        "bnth,hg->bntg", e, mix_mat, precision=jax.lax.Precision.HIGHEST
     )
     return mixed.reshape(b, MAX_BOXES, h)
 

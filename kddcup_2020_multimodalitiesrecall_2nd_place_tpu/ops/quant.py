@@ -1,0 +1,71 @@
+"""Int8 quantised serving path.
+
+The v5e MXU does int8 x int8 -> int32 at twice the bf16 rate; since this
+model family is MXU-bound at ~6.9 GFLOP/pair (BASELINE.md's 50k pairs/s/chip
+target exceeds the bf16 roofline), a quantised mode is the path to the
+north-star throughput. This is a *serving* mode: strict-parity scoring stays
+f32/bf16.
+
+Scheme: weights per-output-channel symmetric int8; activations dynamically
+quantised per row (symmetric, abs-max). y = (x_q @ w_q) * (sx * sw), bias
+added in f32. LayerNorm/softmax/heads stay f32; embeddings stay
+full-precision (gathers are not MXU work).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+QUANT_KERNEL = "kernel_q8"
+QUANT_SCALE = "kernel_scale"
+
+
+def quantize_kernel(kernel: jax.Array) -> dict:
+    """f32 [in, out] -> {kernel_q8 int8 [in, out], kernel_scale f32 [out]}."""
+    k = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k), axis=0)  # per output channel
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return {QUANT_KERNEL: q, QUANT_SCALE: scale}
+
+
+def dense_q8(p: Params, x: jax.Array) -> jax.Array:
+    """Quantised dense: dynamic per-row activation quant, int8 MXU matmul."""
+    xf = x.astype(jnp.float32)
+    x_amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(x_amax, 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q,
+        p[QUANT_KERNEL],
+        dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * x_scale * p[QUANT_SCALE]
+    return y + p["bias"].astype(jnp.float32)
+
+
+def quantize_dense_tree(params, *, skip_paths: tuple[str, ...] = ()) -> Params:
+    """Replace every {kernel, bias} dense in the tree with its int8 form.
+
+    ``skip_paths``: substrings of the '/'-joined path to leave in full
+    precision (e.g. heads whose 2-wide outputs gain nothing from int8).
+    """
+
+    def rec(node, path: str):
+        if isinstance(node, dict):
+            if "kernel" in node and "bias" in node and node["kernel"].ndim == 2:
+                if not any(s in path for s in skip_paths):
+                    q = quantize_kernel(node["kernel"])
+                    return {**q, "bias": node["bias"]}
+            return {k: rec(v, f"{path}/{k}") for k, v in node.items()}
+        return node
+
+    return rec(params, "")
+
+
+def is_quantized(p: Params) -> bool:
+    return QUANT_KERNEL in p
