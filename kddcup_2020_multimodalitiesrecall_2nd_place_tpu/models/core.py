@@ -123,12 +123,18 @@ def dense(p: Params, x: jax.Array, prec: Precision) -> jax.Array:
     return y + p["bias"].astype(jnp.float32)
 
 
-def layer_norm(p: Params, x: jax.Array, eps: float = 1e-12) -> jax.Array:
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-12, out_dtype=None) -> jax.Array:
+    """LayerNorm with float32 internals; optionally emits a narrower dtype.
+
+    In bf16 mode the residual stream is carried in bf16 (halving activation
+    HBM traffic) while mean/var/scale math stays float32.
+    """
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * p["gamma"] + p["beta"]
+    y = y * p["gamma"] + p["beta"]
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
@@ -169,9 +175,21 @@ def attention_block(
 ) -> jax.Array:
     """Attend from x to ctx; project; residual + LN (post-LN BERT)."""
     n = cfg.num_attention_heads
-    q = split_heads(dense(p["query"], x, prec), n)
-    k = split_heads(dense(p["key"], ctx, prec), n)
-    v = split_heads(dense(p["value"], ctx, prec), n)
+    if x is ctx and "kernel" in p["query"]:
+        # self-attention: one fused [H, 3H] projection instead of three
+        qkv_kernel = jnp.concatenate(
+            [p["query"]["kernel"], p["key"]["kernel"], p["value"]["kernel"]], axis=1
+        )
+        qkv_bias = jnp.concatenate(
+            [p["query"]["bias"], p["key"]["bias"], p["value"]["bias"]]
+        )
+        qkv = dense({"kernel": qkv_kernel, "bias": qkv_bias}, x, prec)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = split_heads(q, n), split_heads(k, n), split_heads(v, n)
+    else:
+        q = split_heads(dense(p["query"], x, prec), n)
+        k = split_heads(dense(p["key"], ctx, prec), n)
+        v = split_heads(dense(p["value"], ctx, prec), n)
     attn_rng, hid_rng = dropout_rngs if dropout_rngs else (None, None)
     o = mha(
         q.astype(prec.compute_dtype),
@@ -184,7 +202,10 @@ def attention_block(
     )
     o = dense(p["output"]["dense"], merge_heads(o), prec)
     o = dropout(o, cfg.hidden_dropout_prob if hid_rng is not None else 0.0, hid_rng)
-    return layer_norm(p["output"]["LayerNorm"], o + x.astype(jnp.float32))
+    return layer_norm(
+        p["output"]["LayerNorm"], o + x.astype(jnp.float32),
+        out_dtype=prec.compute_dtype,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -212,10 +233,13 @@ def ffn_block(
     hid_rng: jax.Array | None = None,
 ) -> jax.Array:
     act_fn = ACTIVATIONS[act or cfg.hidden_act]
-    h = act_fn(dense(p["intermediate"], x, prec))
+    h = act_fn(dense(p["intermediate"], x, prec)).astype(prec.compute_dtype)
     h = dense(p["output"]["dense"], h, prec)
     h = dropout(h, cfg.hidden_dropout_prob if hid_rng is not None else 0.0, hid_rng)
-    return layer_norm(p["output"]["LayerNorm"], h + x.astype(jnp.float32))
+    return layer_norm(
+        p["output"]["LayerNorm"], h + x.astype(jnp.float32),
+        out_dtype=prec.compute_dtype,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -272,7 +296,7 @@ def encoder(
         h = encoder_layer(layer_p, h, bias, cfg, prec, act=act, rngs=rngs)
         return (h, r), None
 
-    (x, _), _ = jax.lax.scan(body, (x.astype(jnp.float32), rng), p, length=num_layers)
+    (x, _), _ = jax.lax.scan(body, (x.astype(prec.compute_dtype), rng), p, length=num_layers)
     return x
 
 

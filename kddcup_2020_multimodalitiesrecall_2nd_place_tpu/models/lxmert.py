@@ -226,8 +226,8 @@ def apply(
         l_rng, r_rng, x_rng = jax.random.split(layer_rng, 3)
     else:
         l_rng = r_rng = x_rng = None
-    lang, _ = _scan_stack(enc["layer"], lang_layer, (lang.astype(jnp.float32), l_rng))
-    visn, _ = _scan_stack(enc["r_layers"], visn_layer, (visn.astype(jnp.float32), r_rng))
+    lang, _ = _scan_stack(enc["layer"], lang_layer, (lang.astype(prec.compute_dtype), l_rng))
+    visn, _ = _scan_stack(enc["r_layers"], visn_layer, (visn.astype(prec.compute_dtype), r_rng))
 
     def x_layer(carry, lp):
         l, v, r = carry

@@ -45,7 +45,16 @@ class ModelSpec:
 
 
 def _bert_config() -> BertConfig:
-    return BertConfig.from_json_file(BERT_CONFIG_PATH)
+    cfg = BertConfig.from_json_file(BERT_CONFIG_PATH)
+    # test/debug hook: shrink the model without touching call sites, e.g.
+    # KMR_CONFIG_OVERRIDES='{"hidden_size":32,"num_hidden_layers":2,...}'
+    import json
+    import os
+
+    overrides = os.environ.get("KMR_CONFIG_OVERRIDES")
+    if overrides:
+        cfg = cfg.replace(**json.loads(overrides))
+    return cfg
 
 
 def get_model(name: str) -> ModelSpec:

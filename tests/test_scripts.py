@@ -1,0 +1,137 @@
+"""End-to-end CLI smoke tests (tiny config via KMR_CONFIG_OVERRIDES)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+TINY_ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "JAX_PLATFORM_NAME": "cpu",
+    "KMR_CONFIG_OVERRIDES": json.dumps(
+        {
+            "hidden_size": 32,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "intermediate_size": 37,
+        }
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+        SYNTHETIC_LABELS,
+        SYNTHETIC_QUERIES,
+        make_tsv,
+    )
+
+    d = tmp_path_factory.mktemp("clidata")
+    (d / "test.tsv").write_text("\n".join(make_tsv(12, seed=21)) + "\n")
+    (d / "labels.txt").write_text(
+        "\n".join(f"{k}\t{v}" for k, v in SYNTHETIC_LABELS.items()) + "\n"
+    )
+    (d / "query_labels.txt").write_text(
+        "\n".join(
+            f"{300000+i}\t{q}\tdress,others" for i, q in enumerate(SYNTHETIC_QUERIES)
+        )
+        + "\n"
+    )
+    return d
+
+
+def _run(args, timeout=480):
+    return subprocess.run(
+        [sys.executable, *args],
+        cwd=REPO,
+        env=TINY_ENV,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def test_score_cli(data_dir, tmp_path):
+    out = tmp_path / "scores.txt"
+    r = _run(
+        [
+            "scripts/score.py",
+            "--model", "imagebert_a",
+            "--tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--out", str(out),
+            "--batch-size", "8",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["pairs"] == 12
+    assert len(out.read_text().splitlines()) == 12
+
+
+def test_submission_cli(data_dir, tmp_path):
+    # score once, then fuse four copies of the same file
+    scores = tmp_path / "s.txt"
+    r = _run(
+        [
+            "scripts/score.py",
+            "--model", "imagebert_a",
+            "--tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--out", str(scores),
+            "--batch-size", "8",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    csv = tmp_path / "s.csv"
+    csv.write_text(
+        "query-id,product-id,score\n"
+        + "".join(
+            ",".join(line.split("\t")) + "\n"
+            for line in scores.read_text().splitlines()
+        )
+    )
+    out = tmp_path / "submission.csv"
+    r = _run(
+        [
+            "scripts/submission.py",
+            "--scores-b", str(scores),
+            "--scores-c", str(scores),
+            "--scores-a", str(scores),
+            "--scores-lxmert", str(csv),
+            "--out", str(out),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    assert out.read_text().startswith("query-id,product1")
+
+
+def test_train_cli(data_dir, tmp_path):
+    out_dir = tmp_path / "run"
+    r = _run(
+        [
+            "scripts/train.py",
+            "--model", "imagebert_b",
+            "--train-tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--query-labels", str(data_dir / "query_labels.txt"),
+            "--steps", "2",
+            "--batch-size", "8",
+            "--out", str(out_dir),
+            "--checkpoint-every", "2",
+        ],
+        timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out_dir / "metrics.jsonl").exists()
+    metrics = [json.loads(l) for l in (out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert metrics and "loss" in metrics[0]
+    assert (out_dir / "step_2").exists()
