@@ -29,6 +29,10 @@ sys.path.insert(0, str(REPO_ROOT))
 # the suite pay compile cost only once.
 import jax
 
+# pytest plugins can import jax before this conftest runs, snapshotting the
+# harness env (JAX_PLATFORMS=axon -> the remote TPU); force CPU via config,
+# which still applies as long as no backend has been initialised.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", str(REPO_ROOT / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
