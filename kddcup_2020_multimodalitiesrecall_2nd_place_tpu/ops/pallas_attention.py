@@ -51,7 +51,7 @@ def mha_pallas(
     k: jax.Array,
     v: jax.Array,
     bias: jax.Array | None = None,  # [B, 1 or N, S, S] additive or None
-    block_bn: int = 16,
+    block_bn: int = 64,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused attention; returns [B, N, S, Dh] like ``mha_xla``."""

@@ -66,6 +66,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--answers", default=None,
+                    help="valid_answer.json: report nDCG@5 of this scorer "
+                         "(the reference's run_pretraining_evaluate flow)")
     args = ap.parse_args()
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
@@ -103,6 +106,14 @@ def main() -> None:
     result = engine.score_files(args.tsv, featurizer, args.batch_size, stats=stats)
     writer = write_scores_csv if args.model == "lxmert" else write_scores_tsv
     writer(result, args.out)
+    if args.answers:
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.eval import (
+            evaluate_scores,
+            load_answers,
+        )
+
+        ndcg = evaluate_scores(result, load_answers(args.answers))
+        print(json.dumps({"ndcg_at_5": round(ndcg, 6)}))
     print(
         json.dumps(
             {
