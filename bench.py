@@ -47,7 +47,7 @@ def main() -> None:
     )
 
     if jax.default_backend() == "tpu":
-        set_attention_backend("pallas")
+        set_attention_backend("pallas_packed")
     prec = Precision.bf16()
     bf16_params = jax.tree.map(
         lambda x: x.astype("bfloat16") if x.dtype == np.float32 else x, params

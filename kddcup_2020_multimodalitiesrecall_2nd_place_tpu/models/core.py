@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.activations import ACTIVATIONS
-from ..ops.attention import merge_heads, mha, split_heads
+from ..ops.attention import (
+    merge_heads,
+    mha,
+    mha_packed,
+    packed_attention_active,
+    split_heads,
+)
 
 Params = dict[str, Any]
 
@@ -175,6 +181,37 @@ def attention_block(
 ) -> jax.Array:
     """Attend from x to ctx; project; residual + LN (post-LN BERT)."""
     n = cfg.num_attention_heads
+    attn_rng, hid_rng = dropout_rngs if dropout_rngs else (None, None)
+    if packed_attention_active() and attn_rng is None:
+        # packed path: q/k/v stay [B, S, H]; the kernel slices heads along
+        # 64-aligned lanes, so no head transposes touch HBM
+        if x is ctx and "kernel" in p["query"]:
+            qkv_kernel = jnp.concatenate(
+                [p["query"]["kernel"], p["key"]["kernel"], p["value"]["kernel"]],
+                axis=1,
+            )
+            qkv_bias = jnp.concatenate(
+                [p["query"]["bias"], p["key"]["bias"], p["value"]["bias"]]
+            )
+            qkv = dense({"kernel": qkv_kernel, "bias": qkv_bias}, x, prec)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense(p["query"], x, prec)
+            k = dense(p["key"], ctx, prec)
+            v = dense(p["value"], ctx, prec)
+        o = mha_packed(
+            q.astype(prec.compute_dtype),
+            k.astype(prec.compute_dtype),
+            v.astype(prec.compute_dtype),
+            n,
+            bias,
+        )
+        o = dense(p["output"]["dense"], o, prec)
+        o = dropout(o, cfg.hidden_dropout_prob if hid_rng is not None else 0.0, hid_rng)
+        return layer_norm(
+            p["output"]["LayerNorm"], o + x.astype(jnp.float32),
+            out_dtype=prec.compute_dtype,
+        )
     if x is ctx and "kernel" in p["query"]:
         # self-attention: one fused [H, 3H] projection instead of three
         qkv_kernel = jnp.concatenate(
@@ -190,7 +227,6 @@ def attention_block(
         q = split_heads(dense(p["query"], x, prec), n)
         k = split_heads(dense(p["key"], ctx, prec), n)
         v = split_heads(dense(p["value"], ctx, prec), n)
-    attn_rng, hid_rng = dropout_rngs if dropout_rngs else (None, None)
     o = mha(
         q.astype(prec.compute_dtype),
         k.astype(prec.compute_dtype),

@@ -68,14 +68,27 @@ _ATTENTION_BACKEND = "xla"
 
 
 def set_attention_backend(name: str) -> None:
-    """Select "xla" (default) or "pallas" for encoder attention.
+    """Select "xla" (default), "pallas" or "pallas_packed" for encoder attention.
 
-    The Pallas kernel is tested bit-close to the XLA path; whole-model
+    The Pallas kernels are tested bit-close to the XLA path; whole-model
     benchmarks pick the winner per hardware (see ops/pallas_attention.py).
+    "pallas_packed" keeps heads folded in the hidden dim end-to-end, removing
+    the four [B,N,S,Dh] transpose passes per layer.
     """
     global _ATTENTION_BACKEND
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "pallas_packed"), name
     _ATTENTION_BACKEND = name
+
+
+def packed_attention_active() -> bool:
+    return _ATTENTION_BACKEND == "pallas_packed"
+
+
+def mha_packed(q, k, v, num_heads: int, bias=None):
+    """Packed-layout fused attention: [B, S, H] in, [B, S, H] out."""
+    from .pallas_attention import mha_pallas_packed
+
+    return mha_pallas_packed(q, k, v, num_heads, bias)
 
 
 def mha(q, k, v, bias=None, dropout_rate=0.0, dropout_rng=None, precision=None):

@@ -97,6 +97,90 @@ def _no_bias_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     _attention_kernel(q_ref, k_ref, v_ref, None, o_ref, scale=scale)
 
 
+# --------------------------------------------------------------------------
+# packed layout: heads stay folded in the hidden dim
+# --------------------------------------------------------------------------
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, num_heads):
+    """q/k/v [BLOCK, S, H] with heads packed along lanes; per-head slices are
+    64-lane aligned so no [B,N,S,Dh] transpose ever materialises in HBM."""
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    h = q.shape[-1]
+    dh = h // num_heads
+    bias = bias_ref[:].astype(jnp.float32) if bias_ref is not None else None
+    for n in range(num_heads):
+        sl = slice(n * dh, (n + 1) * dh)
+        scores = jax.lax.dot_general(
+            q[..., sl],
+            k[..., sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores * scale
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jax.lax.dot_general(
+            probs,
+            v[..., sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[..., sl] = out.astype(o_ref.dtype)
+
+
+def mha_pallas_packed(
+    q: jax.Array,  # [B, S, H] (heads packed)
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    bias: jax.Array | None = None,  # [B, 1, 1, S] or [B, 1, S, S] additive
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention on the packed layout; returns [B, S, H]."""
+    b, s, h = q.shape
+    scale = 1.0 / ((h // num_heads) ** 0.5)
+    block = min(block_b, b)
+    grid = (pl.cdiv(b, block),)
+
+    def idx(i):
+        return (i, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((block, s, h), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, s, h), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, s, h), idx, memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        # bias comes in as [B, 1, F_or_1, S]; broadcast to [B, S, S]
+        bias_full = jnp.broadcast_to(bias, (b, 1, s, s)).reshape(b, s, s)
+        in_specs.append(pl.BlockSpec((block, s, s), idx, memory_space=pltpu.VMEM))
+        args.append(bias_full)
+        kernel = functools.partial(_packed_kernel, scale=scale, num_heads=num_heads)
+    else:
+        kernel = functools.partial(
+            _packed_no_bias_kernel, scale=scale, num_heads=num_heads
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, s, h), idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _packed_no_bias_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads):
+    _packed_kernel(q_ref, k_ref, v_ref, None, o_ref, scale=scale, num_heads=num_heads)
+
+
 @functools.lru_cache(maxsize=16)
 def _backend_choice(shape_key) -> str:
     """Benchmark both backends once per shape on the current default device."""

@@ -61,7 +61,7 @@ class ScoringEngine:
             # bf16; strict-parity f32 and non-TPU backends stay on XLA
             on_tpu = self.mesh.devices.flat[0].platform == "tpu"
             attention_backend = (
-                "pallas" if on_tpu and precision.compute_dtype != jnp.float32 else "xla"
+                "pallas_packed" if on_tpu and precision.compute_dtype != jnp.float32 else "xla"
             )
         from ..ops.attention import set_attention_backend
 

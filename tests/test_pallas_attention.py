@@ -39,3 +39,27 @@ def test_pallas_ragged_batch_blocks():
     ref = mha_xla(q, k, v, None)
     got = mha_pallas(q, k, v, None, block_bn=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_packed_matches_xla(with_bias):
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.attention import (
+        split_heads,
+        merge_heads,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
+        mha_pallas_packed,
+    )
+
+    b, s, h, n = 5, 40, 128, 4
+    ks = jax.random.split(jax.random.key(2), 4)
+    q = jax.random.normal(ks[0], (b, s, h), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, h), jnp.float32)
+    bias = None
+    if with_bias:
+        mask = (jax.random.uniform(ks[3], (b, 1, 1, s)) > 0.3).astype(jnp.float32)
+        bias = (1.0 - mask) * -10000.0
+    ref = merge_heads(mha_xla(split_heads(q, n), split_heads(k, n), split_heads(v, n), bias))
+    got = mha_pallas_packed(q, k, v, n, bias, block_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
