@@ -182,10 +182,13 @@ def attention_block(
     """Attend from x to ctx; project; residual + LN (post-LN BERT)."""
     n = cfg.num_attention_heads
     attn_rng, hid_rng = dropout_rngs if dropout_rngs else (None, None)
-    if packed_attention_active() and attn_rng is None:
-        # packed path: q/k/v stay [B, S, H]; the kernel slices heads along
+    if packed_attention_active() and attn_rng is None and hid_rng is None:
+        # packed path: q/k/v stay [B, S, H]; kernels slice heads along
         # 64-aligned lanes, so no head transposes touch HBM
         if x is ctx and "kernel" in p["query"]:
+            # whole self-attention block in one VMEM-resident kernel
+            from ..ops.pallas_attention import attention_block_pallas
+
             qkv_kernel = jnp.concatenate(
                 [p["query"]["kernel"], p["key"]["kernel"], p["value"]["kernel"]],
                 axis=1,
@@ -193,12 +196,20 @@ def attention_block(
             qkv_bias = jnp.concatenate(
                 [p["query"]["bias"], p["key"]["bias"], p["value"]["bias"]]
             )
-            qkv = dense({"kernel": qkv_kernel, "bias": qkv_bias}, x, prec)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-        else:
-            q = dense(p["query"], x, prec)
-            k = dense(p["key"], ctx, prec)
-            v = dense(p["value"], ctx, prec)
+            return attention_block_pallas(
+                x.astype(prec.compute_dtype),
+                qkv_kernel,
+                qkv_bias,
+                p["output"]["dense"]["kernel"],
+                p["output"]["dense"]["bias"],
+                p["output"]["LayerNorm"]["gamma"],
+                p["output"]["LayerNorm"]["beta"],
+                n,
+                bias,
+            )
+        q = dense(p["query"], x, prec)
+        k = dense(p["key"], ctx, prec)
+        v = dense(p["value"], ctx, prec)
         o = mha_packed(
             q.astype(prec.compute_dtype),
             k.astype(prec.compute_dtype),
@@ -207,7 +218,6 @@ def attention_block(
             bias,
         )
         o = dense(p["output"]["dense"], o, prec)
-        o = dropout(o, cfg.hidden_dropout_prob if hid_rng is not None else 0.0, hid_rng)
         return layer_norm(
             p["output"]["LayerNorm"], o + x.astype(jnp.float32),
             out_dtype=prec.compute_dtype,
@@ -268,7 +278,27 @@ def ffn_block(
     act: str | None = None,
     hid_rng: jax.Array | None = None,
 ) -> jax.Array:
-    act_fn = ACTIVATIONS[act or cfg.hidden_act]
+    act_name = act or cfg.hidden_act
+    if (
+        packed_attention_active()
+        and hid_rng is None
+        and "kernel" in p["intermediate"]
+        and act_name in ("gelu", "gelu_erf")
+        and x.ndim == 3
+    ):
+        from ..ops.pallas_ffn import ffn_block_pallas
+
+        return ffn_block_pallas(
+            x.astype(prec.compute_dtype),
+            p["intermediate"]["kernel"],
+            p["intermediate"]["bias"],
+            p["output"]["dense"]["kernel"],
+            p["output"]["dense"]["bias"],
+            p["output"]["LayerNorm"]["gamma"],
+            p["output"]["LayerNorm"]["beta"],
+            approximate_gelu=(act_name == "gelu"),
+        )
+    act_fn = ACTIVATIONS[act_name]
     h = act_fn(dense(p["intermediate"], x, prec)).astype(prec.compute_dtype)
     h = dense(p["output"]["dense"], h, prec)
     h = dropout(h, cfg.hidden_dropout_prob if hid_rng is not None else 0.0, hid_rng)

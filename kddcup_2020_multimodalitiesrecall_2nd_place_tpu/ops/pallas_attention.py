@@ -181,6 +181,140 @@ def _packed_no_bias_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads):
     _packed_kernel(q_ref, k_ref, v_ref, None, o_ref, scale=scale, num_heads=num_heads)
 
 
+# --------------------------------------------------------------------------
+# fully fused attention block: QKV proj -> attention -> out proj -> +res -> LN
+# --------------------------------------------------------------------------
+
+
+def _attn_block_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, bias_ref,
+    o_ref, *, num_heads, eps,
+):
+    x = x_ref[:]  # [BLOCK, S, H]
+    block, s, h = x.shape
+    dh = h // num_heads
+    scale = 1.0 / (dh**0.5)
+    x2d = x.reshape(block * s, h)
+    qkv = (
+        jax.lax.dot(x2d, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype)
+    qkv = qkv.reshape(block, s, 3 * h)
+    bias = bias_ref[:].astype(jnp.float32) if bias_ref is not None else None
+    head_outs = []
+    for n in range(num_heads):
+        q = qkv[..., n * dh : (n + 1) * dh]
+        k = qkv[..., h + n * dh : h + (n + 1) * dh]
+        v = qkv[..., 2 * h + n * dh : 2 * h + (n + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        head_outs.append(
+            jax.lax.dot_general(
+                probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    ctx = jnp.concatenate(head_outs, axis=-1)  # [block, s, h]
+    o2d = (
+        jax.lax.dot(
+            ctx.reshape(block * s, h),
+            wo_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[:].astype(jnp.float32)
+    )
+    y = o2d + x2d.astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[:] = y.reshape(block, s, h).astype(o_ref.dtype)
+
+
+def _attn_block_no_bias(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, o_ref,
+    *, num_heads, eps,
+):
+    _attn_block_kernel(
+        x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, None,
+        o_ref, num_heads=num_heads, eps=eps,
+    )
+
+
+def attention_block_pallas(
+    x: jax.Array,  # [B, S, H]
+    wqkv: jax.Array,  # [H, 3H]
+    bqkv: jax.Array,  # [3H]
+    wo: jax.Array,  # [H, H]
+    bo: jax.Array,  # [H]
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_heads: int,
+    bias: jax.Array | None = None,  # [B, 1, 1 or S, S] additive
+    eps: float = 1e-12,
+    block_b: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """The whole post-LN self-attention block in one VMEM-resident kernel."""
+    b, s, h = x.shape
+    block = min(block_b, b)
+    grid = (pl.cdiv(b, block),)
+    dtype = x.dtype
+
+    def xi(i):
+        return (i, 0, 0)
+
+    def const2(i):
+        return (0, 0)
+
+    def const1(i):
+        return (0,)
+
+    in_specs = [
+        pl.BlockSpec((block, s, h), xi, memory_space=pltpu.VMEM),
+        pl.BlockSpec(wqkv.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bqkv.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(wo.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bo.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(gamma.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(beta.shape, const1, memory_space=pltpu.VMEM),
+    ]
+    args = [x, wqkv.astype(dtype), bqkv, wo.astype(dtype), bo, gamma, beta]
+    if bias is not None:
+        bias_full = jnp.broadcast_to(bias, (b, 1, s, s)).reshape(b, s, s)
+        in_specs.append(pl.BlockSpec((block, s, s), xi, memory_space=pltpu.VMEM))
+        args.append(bias_full)
+        kernel = functools.partial(
+            _attn_block_bias_last, num_heads=num_heads, eps=eps
+        )
+    else:
+        kernel = functools.partial(_attn_block_no_bias, num_heads=num_heads, eps=eps)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, s, h), xi, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _attn_block_bias_last(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, bias_ref,
+    o_ref, *, num_heads, eps,
+):
+    _attn_block_kernel(
+        x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref,
+        bias_ref, o_ref, num_heads=num_heads, eps=eps,
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def _backend_choice(shape_key) -> str:
     """Benchmark both backends once per shape on the current default device."""

@@ -1,0 +1,91 @@
+"""Fused FFN block kernel: LN(x + W2 gelu(W1 x + b1) + b2) in one pass.
+
+At 30-43 token sequences the FFN's elementwise chain (GELU, bias adds,
+residual, float32 LayerNorm) costs multiple HBM round-trips of the [B, S, H]
+activations when left to XLA. This kernel blocks over the batch and keeps
+the whole chain in VMEM; both weight matrices (768x3072 + 3072x768 bf16
+~9.4 MB) are fetched once and reused across grid steps (constant index_map).
+
+Matmuls accumulate in float32; GELU and LayerNorm run in float32; the
+residual stream is read/written in the caller's dtype. GELU variant is
+selectable (tanh for the TF stacks, erf for LXMERT).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ffn_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref, beta_ref, o_ref,
+    *, approximate_gelu: bool, eps: float,
+):
+    x = x_ref[:]  # [BLOCK, S, H]
+    block, s, h = x.shape
+    x2d = x.reshape(block * s, h)
+    hmid = jax.lax.dot(
+        x2d, w1_ref[:], preferred_element_type=jnp.float32
+    ) + b1_ref[:].astype(jnp.float32)
+    hmid = jax.nn.gelu(hmid, approximate=approximate_gelu).astype(x.dtype)
+    out = jax.lax.dot(
+        hmid, w2_ref[:], preferred_element_type=jnp.float32
+    ) + b2_ref[:].astype(jnp.float32)
+    y = out + x2d.astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[:] = y.reshape(block, s, h).astype(o_ref.dtype)
+
+
+def ffn_block_pallas(
+    x: jax.Array,  # [B, S, H]
+    w1: jax.Array,  # [H, I]
+    b1: jax.Array,  # [I]
+    w2: jax.Array,  # [I, H]
+    b2: jax.Array,  # [H]
+    gamma: jax.Array,  # [H]
+    beta: jax.Array,  # [H]
+    approximate_gelu: bool = True,
+    eps: float = 1e-12,
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    b, s, h = x.shape
+    block = min(block_b, b)
+    grid = (pl.cdiv(b, block),)
+    dtype = x.dtype
+
+    def xi(i):
+        return (i, 0, 0)
+
+    def const2(i):
+        return (0, 0)
+
+    def const1(i):
+        return (0,)
+
+    kernel = functools.partial(
+        _ffn_kernel, approximate_gelu=approximate_gelu, eps=eps
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, s, h), xi, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(gamma.shape, const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(beta.shape, const1, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, s, h), xi, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), dtype),
+        interpret=interpret,
+    )(x, w1.astype(dtype), b1, w2.astype(dtype), b2, gamma, beta)

@@ -63,3 +63,63 @@ def test_packed_matches_xla(with_bias):
     ref = merge_heads(mha_xla(split_heads(q, n), split_heads(k, n), split_heads(v, n), bias))
     got = mha_pallas_packed(q, k, v, n, bias, block_b=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_ffn_pallas_matches_reference():
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_ffn import (
+        ffn_block_pallas,
+    )
+
+    b, s, h, inter = 5, 40, 64, 96
+    ks = jax.random.split(jax.random.key(3), 6)
+    x = jax.random.normal(ks[0], (b, s, h), jnp.float32)
+    w1 = 0.1 * jax.random.normal(ks[1], (h, inter), jnp.float32)
+    b1 = 0.1 * jax.random.normal(ks[2], (inter,), jnp.float32)
+    w2 = 0.1 * jax.random.normal(ks[3], (inter, h), jnp.float32)
+    b2 = 0.1 * jax.random.normal(ks[4], (h,), jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[5], (h,), jnp.float32)
+    beta = jnp.zeros((h,))
+
+    def ref(x):
+        hmid = jax.nn.gelu(x @ w1 + b1, approximate=True)
+        y = hmid @ w2 + b2 + x
+        mean = y.mean(-1, keepdims=True)
+        var = ((y - mean) ** 2).mean(-1, keepdims=True)
+        return (y - mean) * jax.lax.rsqrt(var + 1e-12) * gamma + beta
+
+    got = ffn_block_pallas(x, w1, b1, w2, b2, gamma, beta, block_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_fused_attention_block_matches_unfused(with_bias):
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
+        BertConfig,
+        Precision,
+        attention_block,
+        attention_block_init,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
+        attention_block_pallas,
+    )
+
+    cfg = BertConfig(vocab_size=50, hidden_size=64, num_hidden_layers=1,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64)
+    p = attention_block_init(jax.random.key(0), cfg)
+    b, s = 5, 30
+    ks = jax.random.split(jax.random.key(1), 2)
+    x = jax.random.normal(ks[0], (b, s, cfg.hidden_size), jnp.float32)
+    bias = None
+    if with_bias:
+        mask = (jax.random.uniform(ks[1], (b, 1, 1, s)) > 0.3).astype(jnp.float32)
+        bias = (1.0 - mask) * -10000.0
+    ref = attention_block(p, x, x, bias, cfg, Precision.f32())
+    wqkv = jnp.concatenate([p["query"]["kernel"], p["key"]["kernel"], p["value"]["kernel"]], axis=1)
+    bqkv = jnp.concatenate([p["query"]["bias"], p["key"]["bias"], p["value"]["bias"]])
+    got = attention_block_pallas(
+        x, wqkv, bqkv, p["output"]["dense"]["kernel"], p["output"]["dense"]["bias"],
+        p["output"]["LayerNorm"]["gamma"], p["output"]["LayerNorm"]["beta"],
+        cfg.num_attention_heads, bias, block_b=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
