@@ -31,7 +31,7 @@ def main() -> None:
     cfg = model.config
     params = model.init_params(jax.random.key(0))
 
-    batch_size = int(__import__("os").environ.get("BENCH_BATCH", "8192"))
+    batch_size = int(__import__("os").environ.get("BENCH_BATCH", "16384"))
     rng = np.random.default_rng(0)
     batch = {
         "input_ids": rng.integers(0, cfg.vocab_size, (batch_size, 20)).astype(np.int32),
