@@ -1,4 +1,5 @@
 from .ndcg import (
+    pair_labels,
     dcg_at_k,
     evaluate_scores,
     evaluate_submission,
@@ -7,6 +8,7 @@ from .ndcg import (
 )
 
 __all__ = [
+    "pair_labels",
     "dcg_at_k",
     "evaluate_scores",
     "evaluate_submission",

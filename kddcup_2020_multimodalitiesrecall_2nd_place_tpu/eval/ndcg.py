@@ -68,3 +68,17 @@ def evaluate_submission(
 def load_answers(path) -> dict[str, list]:
     with open(path, "r", encoding="utf-8") as f:
         return json.load(f)
+
+
+def pair_labels(
+    query_ids, product_ids, answers: dict[str, list]
+) -> "np.ndarray":
+    """Ground-truth 0/1 labels for (query, product) pairs from
+    valid_answer.json -- the reference's valid-loader labeling
+    (``load_data_v3.py:196-201``, zk ``load_data_v4.py:259-264``)."""
+    out = np.zeros(len(query_ids), dtype=np.int32)
+    for i, (q, p) in enumerate(zip(query_ids, product_ids)):
+        truth = answers.get(str(q))
+        if truth and (int(p) in truth or str(p) in {str(t) for t in truth}):
+            out[i] = 1
+    return out
