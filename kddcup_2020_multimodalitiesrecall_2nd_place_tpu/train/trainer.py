@@ -93,7 +93,10 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
     name = model.name
 
     def loss_fn(params, batch, rng):
-        out = model.apply(params, batch, model.config, precision, rng=rng)
+        model_batch = {
+            k: v for k, v in batch.items() if not k.startswith("masked_lm")
+        }
+        out = model.apply(params, model_batch, model.config, precision, rng=rng)
         metrics = {}
         if name == "imagebert_a":
             loss = heads.nsp_loss(
@@ -101,6 +104,24 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
             )
             if tc.ms_loss_weight:
                 loss = loss + tc.ms_loss_weight * ms_loss(batch["labels"], out["pooled"])
+            if tc.mlm_loss_weight and "masked_lm_positions" in batch:
+                # gather masked positions from the text block of the sequence
+                # (run_pretraining's cls/predictions path, :433-476)
+                pos = batch["masked_lm_positions"]  # [B, P]
+                hidden = jnp.take_along_axis(
+                    out["sequence"], pos[..., None], axis=1
+                )
+                logits = heads.mlm_logits(
+                    params["cls"]["predictions"],
+                    hidden,
+                    params["bert"]["embeddings"]["word_embeddings"],
+                    precision,
+                )
+                mlm = heads.mlm_loss(
+                    logits, batch["masked_lm_ids"], batch["masked_lm_weights"]
+                )
+                metrics["mlm_loss"] = mlm
+                loss = loss + tc.mlm_loss_weight * mlm
         elif name in ("imagebert_b", "imagebert_c"):
             loss = heads.am_loss(
                 params["cls"]["seq_relationship"], out["pooled"], batch["labels"]

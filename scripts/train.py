@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mlm-weight", type=float, default=0.0,
+                    help="auxiliary MLM loss weight (ImageBERT-A pretraining)")
+    ap.add_argument("--ms-weight", type=float, default=0.0,
+                    help="Multi-Similarity loss weight (A's MS-loss fine-tune)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +77,15 @@ def main() -> None:
     )
     sampler = HardNegativeSampler(featurizer, qindex, sampler_cfg)
 
-    trainer = Trainer(spec)
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import recipe_for
+    import dataclasses
+
+    tc = dataclasses.replace(
+        recipe_for(spec.name),
+        mlm_loss_weight=args.mlm_weight,
+        ms_loss_weight=args.ms_weight,
+    )
+    trainer = Trainer(spec, tc)
     state = trainer.init_state(jax.random.key(args.seed))
 
     def batches():
@@ -95,9 +107,11 @@ def main() -> None:
     metrics_file = open(out_dir / "metrics.jsonl", "a")
     rngs = jax.random.split(jax.random.key(args.seed + 1), args.steps)
     for step, batch in enumerate(itertools.islice(batches(), args.steps)):
-        # drop loader-only fields the model does not consume
-        batch = {k: v for k, v in batch.items() if not k.startswith("masked_lm")
-                 and not k.startswith("word_match")}
+        # word-match fields are loader-only (the aux head is off by default);
+        # masked_lm fields feed the MLM loss when --mlm-weight is set
+        batch = {k: v for k, v in batch.items() if not k.startswith("word_match")}
+        if not args.mlm_weight:
+            batch = {k: v for k, v in batch.items() if not k.startswith("masked_lm")}
         state, metrics = trainer.train_step(state, batch, rngs[step])
         if step % 20 == 0:
             log_metrics(step, metrics, metrics_file)

@@ -164,3 +164,42 @@ def test_train_step_runs_on_8_device_mesh():
     assert not np.allclose(np.asarray(p0), np.asarray(p3))
     s3 = jax.tree.leaves(state.ema.shadow)[0]
     assert not np.allclose(np.asarray(s3), np.asarray(p3))
+
+
+def test_mlm_aux_loss_for_imagebert_a():
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import imagebert_a
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train.trainer import (
+        make_loss_fn,
+    )
+
+    cfg = TINY
+    spec = ModelSpec(
+        "imagebert_a",
+        cfg,
+        init=lambda rng: imagebert_a.init_params(rng, cfg),
+        apply=imagebert_a.apply,
+        featurizer_layout="imagebert_a",
+    )
+    params = spec.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    B, P = 4, 10
+    batch = {
+        "input_ids": rng.integers(0, cfg.vocab_size, (B, 20)).astype(np.int32),
+        "segment_ids": np.zeros((B, 20), np.int32),
+        "boxes": rng.standard_normal((B, 10, 5)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+        "label_ids": rng.integers(0, cfg.vocab_size, (B, 10, 8)).astype(np.int32),
+        "labels": rng.integers(0, 2, (B,)).astype(np.int32),
+        "masked_lm_positions": rng.integers(1, 19, (B, P)).astype(np.int32),
+        "masked_lm_ids": rng.integers(0, cfg.vocab_size, (B, P)).astype(np.int32),
+        "masked_lm_weights": (rng.random((B, P)) > 0.5).astype(np.float32),
+    }
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import Precision
+
+    lf_plain = make_loss_fn(spec, TrainConfig(), Precision.f32())
+    lf_mlm = make_loss_fn(spec, TrainConfig(mlm_loss_weight=1.0), Precision.f32())
+    l0, m0 = jax.jit(lf_plain)(params, batch, None)
+    l1, m1 = jax.jit(lf_mlm)(params, batch, None)
+    assert "mlm_loss" not in m0 and "mlm_loss" in m1
+    assert float(l1) > float(l0)  # random-init MLM loss ~ log(vocab) added
+    assert np.isfinite(float(m1["mlm_loss"]))
