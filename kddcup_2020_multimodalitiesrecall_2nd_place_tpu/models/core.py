@@ -207,21 +207,24 @@ def attention_block(
                 n,
                 bias,
             )
-        q = dense(p["query"], x, prec)
-        k = dense(p["key"], ctx, prec)
-        v = dense(p["value"], ctx, prec)
-        o = mha_packed(
-            q.astype(prec.compute_dtype),
-            k.astype(prec.compute_dtype),
-            v.astype(prec.compute_dtype),
-            n,
-            bias,
-        )
-        o = dense(p["output"]["dense"], o, prec)
-        return layer_norm(
-            p["output"]["LayerNorm"], o + x.astype(jnp.float32),
-            out_dtype=prec.compute_dtype,
-        )
+        if x.shape[1] == ctx.shape[1]:
+            q = dense(p["query"], x, prec)
+            k = dense(p["key"], ctx, prec)
+            v = dense(p["value"], ctx, prec)
+            o = mha_packed(
+                q.astype(prec.compute_dtype),
+                k.astype(prec.compute_dtype),
+                v.astype(prec.compute_dtype),
+                n,
+                bias,
+            )
+            o = dense(p["output"]["dense"], o, prec)
+            return layer_norm(
+                p["output"]["LayerNorm"], o + x.astype(jnp.float32),
+                out_dtype=prec.compute_dtype,
+            )
+        # cross-attention with F != T (LXMERT x-layers): the packed kernel
+        # assumes equal lengths; fall through to the XLA path
     if x is ctx and "kernel" in p["query"]:
         # self-attention: one fused [H, 3H] projection instead of three
         qkv_kernel = jnp.concatenate(

@@ -21,6 +21,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf_as(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| <= 1.5e-7): Mosaic has no
+    erf/erfc primitive, and 1.5e-7 is far below bf16 resolution."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _ffn_kernel(
     x_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref, beta_ref, o_ref,
     *, approximate_gelu: bool, eps: float,
@@ -31,7 +45,11 @@ def _ffn_kernel(
     hmid = jax.lax.dot(
         x2d, w1_ref[:], preferred_element_type=jnp.float32
     ) + b1_ref[:].astype(jnp.float32)
-    hmid = jax.nn.gelu(hmid, approximate=approximate_gelu).astype(x.dtype)
+    if approximate_gelu:
+        hmid = jax.nn.gelu(hmid, approximate=True)
+    else:
+        hmid = 0.5 * hmid * (1.0 + _erf_as(hmid * (2.0**-0.5)))
+    hmid = hmid.astype(x.dtype)
     out = jax.lax.dot(
         hmid, w2_ref[:], preferred_element_type=jnp.float32
     ) + b2_ref[:].astype(jnp.float32)

@@ -123,3 +123,32 @@ def test_fused_attention_block_matches_unfused(with_bias):
         cfg.num_attention_heads, bias, block_b=2, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
+
+
+def test_ffn_pallas_erf_gelu_matches():
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_ffn import (
+        ffn_block_pallas,
+    )
+
+    b, s, h, inter = 3, 10, 32, 48
+    ks = jax.random.split(jax.random.key(4), 6)
+    x = jax.random.normal(ks[0], (b, s, h), jnp.float32)
+    w1 = 0.2 * jax.random.normal(ks[1], (h, inter), jnp.float32)
+    b1 = jnp.zeros((inter,))
+    w2 = 0.2 * jax.random.normal(ks[2], (inter, h), jnp.float32)
+    b2 = jnp.zeros((h,))
+    gamma = jnp.ones((h,))
+    beta = jnp.zeros((h,))
+
+    def ref(x):
+        hmid = jax.nn.gelu(x @ w1 + b1, approximate=False)
+        y = hmid @ w2 + b2 + x
+        mean = y.mean(-1, keepdims=True)
+        var = ((y - mean) ** 2).mean(-1, keepdims=True)
+        return (y - mean) * jax.lax.rsqrt(var + 1e-12) * gamma + beta
+
+    got = ffn_block_pallas(
+        x, w1, b1, w2, b2, gamma, beta,
+        approximate_gelu=False, block_b=1, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)), atol=5e-5, rtol=1e-3)
