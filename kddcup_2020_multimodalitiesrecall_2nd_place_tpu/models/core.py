@@ -207,24 +207,26 @@ def attention_block(
                 n,
                 bias,
             )
-        if x.shape[1] == ctx.shape[1]:
-            q = dense(p["query"], x, prec)
-            k = dense(p["key"], ctx, prec)
-            v = dense(p["value"], ctx, prec)
-            o = mha_packed(
-                q.astype(prec.compute_dtype),
-                k.astype(prec.compute_dtype),
-                v.astype(prec.compute_dtype),
-                n,
-                bias,
-            )
-            o = dense(p["output"]["dense"], o, prec)
-            return layer_norm(
-                p["output"]["LayerNorm"], o + x.astype(jnp.float32),
-                out_dtype=prec.compute_dtype,
-            )
-        # cross-attention with F != T (LXMERT x-layers): the packed kernel
-        # assumes equal lengths; fall through to the XLA path
+        # cross-attention (LXMERT x-layers, F may differ from T): fused
+        # cross-attention block kernel
+        from ..ops.pallas_attention import cross_attention_block_pallas
+
+        wkv = jnp.concatenate([p["key"]["kernel"], p["value"]["kernel"]], axis=1)
+        bkv = jnp.concatenate([p["key"]["bias"], p["value"]["bias"]])
+        return cross_attention_block_pallas(
+            x.astype(prec.compute_dtype),
+            ctx.astype(prec.compute_dtype),
+            p["query"]["kernel"],
+            p["query"]["bias"],
+            wkv,
+            bkv,
+            p["output"]["dense"]["kernel"],
+            p["output"]["dense"]["bias"],
+            p["output"]["LayerNorm"]["gamma"],
+            p["output"]["LayerNorm"]["beta"],
+            n,
+            bias,
+        )
     if x is ctx and "kernel" in p["query"]:
         # self-attention: one fused [H, 3H] projection instead of three
         qkv_kernel = jnp.concatenate(

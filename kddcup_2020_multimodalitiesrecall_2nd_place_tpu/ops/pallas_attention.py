@@ -315,6 +315,142 @@ def _attn_block_bias_last(
     )
 
 
+# --------------------------------------------------------------------------
+# fused cross-attention block (F != T): LXMERT x-layers
+# --------------------------------------------------------------------------
+
+
+def _cross_block_kernel(
+    x_ref, ctx_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+    gamma_ref, beta_ref, bias_ref, o_ref, *, num_heads, eps,
+):
+    x = x_ref[:]  # [BLOCK, F, H]
+    c = ctx_ref[:]  # [BLOCK, T, H]
+    block, f, h = x.shape
+    t = c.shape[1]
+    dh = h // num_heads
+    scale = 1.0 / (dh**0.5)
+    q2d = (
+        jax.lax.dot(x.reshape(block * f, h), wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[:].astype(jnp.float32)
+    ).astype(x.dtype)
+    kv2d = (
+        jax.lax.dot(c.reshape(block * t, h), wkv_ref[:], preferred_element_type=jnp.float32)
+        + bkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype)
+    q = q2d.reshape(block, f, h)
+    kv = kv2d.reshape(block, t, 2 * h)
+    bias = bias_ref[:].astype(jnp.float32) if bias_ref is not None else None
+    head_outs = []
+    for n in range(num_heads):
+        qh = q[..., n * dh : (n + 1) * dh]
+        kh = kv[..., n * dh : (n + 1) * dh]
+        vh = kv[..., h + n * dh : h + (n + 1) * dh]
+        scores = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        head_outs.append(
+            jax.lax.dot_general(
+                probs, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    ctx_out = jnp.concatenate(head_outs, axis=-1)
+    o2d = (
+        jax.lax.dot(
+            ctx_out.reshape(block * f, h), wo_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[:].astype(jnp.float32)
+    )
+    y = o2d + x.reshape(block * f, h).astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[:] = y.reshape(block, f, h).astype(o_ref.dtype)
+
+
+def _cross_block_no_bias(
+    x_ref, ctx_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+    gamma_ref, beta_ref, o_ref, *, num_heads, eps,
+):
+    _cross_block_kernel(
+        x_ref, ctx_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+        gamma_ref, beta_ref, None, o_ref, num_heads=num_heads, eps=eps,
+    )
+
+
+def cross_attention_block_pallas(
+    x: jax.Array,  # [B, F, H]
+    ctx: jax.Array,  # [B, T, H]
+    wq: jax.Array,  # [H, H]
+    bq: jax.Array,
+    wkv: jax.Array,  # [H, 2H] (key ++ value kernels)
+    bkv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_heads: int,
+    bias: jax.Array | None = None,  # [B, 1, 1 or F, T] additive (ctx mask)
+    eps: float = 1e-12,
+    block_b: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole cross-attention block (post-LN) in one kernel; F may differ
+    from T (LXMERT lang<->visn cross attention)."""
+    b, f, h = x.shape
+    t = ctx.shape[1]
+    block = min(block_b, b)
+    grid = (pl.cdiv(b, block),)
+    dtype = x.dtype
+
+    def xi(i):
+        return (i, 0, 0)
+
+    def const2(i):
+        return (0, 0)
+
+    def const1(i):
+        return (0,)
+
+    in_specs = [
+        pl.BlockSpec((block, f, h), xi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, t, h), xi, memory_space=pltpu.VMEM),
+        pl.BlockSpec(wq.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bq.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(wkv.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bkv.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(wo.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bo.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(gamma.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(beta.shape, const1, memory_space=pltpu.VMEM),
+    ]
+    args = [x, ctx, wq.astype(dtype), bq, wkv.astype(dtype), bkv,
+            wo.astype(dtype), bo, gamma, beta]
+    if bias is not None:
+        bias_full = jnp.broadcast_to(bias, (b, 1, f, t)).reshape(b, f, t)
+        in_specs.append(pl.BlockSpec((block, f, t), xi, memory_space=pltpu.VMEM))
+        args.append(bias_full)
+        kernel = functools.partial(_cross_block_kernel, num_heads=num_heads, eps=eps)
+    else:
+        kernel = functools.partial(_cross_block_no_bias, num_heads=num_heads, eps=eps)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, f, h), xi, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, f, h), dtype),
+        interpret=interpret,
+    )(*args)
+
+
 @functools.lru_cache(maxsize=16)
 def _backend_choice(shape_key) -> str:
     """Benchmark both backends once per shape on the current default device."""

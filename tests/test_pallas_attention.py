@@ -152,3 +152,39 @@ def test_ffn_pallas_erf_gelu_matches():
         approximate_gelu=False, block_b=1, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)), atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_fused_cross_attention_block_matches_unfused(with_bias):
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
+        BertConfig,
+        Precision,
+        attention_block,
+        attention_block_init,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
+        cross_attention_block_pallas,
+    )
+
+    cfg = BertConfig(vocab_size=50, hidden_size=64, num_hidden_layers=1,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64)
+    p = attention_block_init(jax.random.key(5), cfg)
+    b, f, t = 4, 23, 10
+    ks = jax.random.split(jax.random.key(6), 3)
+    x = jax.random.normal(ks[0], (b, f, cfg.hidden_size), jnp.float32)
+    ctx = jax.random.normal(ks[1], (b, t, cfg.hidden_size), jnp.float32)
+    bias = None
+    if with_bias:
+        mask = (jax.random.uniform(ks[2], (b, 1, 1, t)) > 0.3).astype(jnp.float32)
+        bias = (1.0 - mask) * -10000.0
+    ref = attention_block(p, x, ctx, bias, cfg, Precision.f32())
+    wkv = jnp.concatenate([p["key"]["kernel"], p["value"]["kernel"]], axis=1)
+    bkv = jnp.concatenate([p["key"]["bias"], p["value"]["bias"]])
+    got = cross_attention_block_pallas(
+        x, ctx, p["query"]["kernel"], p["query"]["bias"], wkv, bkv,
+        p["output"]["dense"]["kernel"], p["output"]["dense"]["bias"],
+        p["output"]["LayerNorm"]["gamma"], p["output"]["LayerNorm"]["beta"],
+        cfg.num_attention_heads, bias, block_b=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
