@@ -135,3 +135,33 @@ def test_train_cli(data_dir, tmp_path):
     metrics = [json.loads(l) for l in (out_dir / "metrics.jsonl").read_text().splitlines()]
     assert metrics and "loss" in metrics[0]
     assert (out_dir / "step_2").exists()
+
+
+def test_recall_cli(data_dir, tmp_path):
+    catalog = tmp_path / "catalog.npz"
+    r = _run(
+        [
+            "scripts/recall.py", "build",
+            "--tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--out", str(catalog),
+        ],
+        timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = tmp_path / "recall.tsv"
+    r = _run(
+        [
+            "scripts/recall.py", "query",
+            "--tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--catalog", str(catalog),
+            "--out", str(out),
+            "--k", "3",
+        ],
+        timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = out.read_text().splitlines()
+    assert len(rows) == 12
+    assert all(len(row.split("\t")[1].split(",")) == 3 for row in rows)
