@@ -84,6 +84,22 @@ def packed_attention_active() -> bool:
     return _ATTENTION_BACKEND == "pallas_packed"
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def attention_backend(name: str):
+    """Scoped backend selection (used around jit tracing so concurrent
+    engines with different backends don't clobber each other)."""
+    global _ATTENTION_BACKEND
+    prev = _ATTENTION_BACKEND
+    set_attention_backend(name)
+    try:
+        yield
+    finally:
+        _ATTENTION_BACKEND = prev
+
+
 def mha_packed(q, k, v, num_heads: int, bias=None):
     """Packed-layout fused attention: [B, S, H] in, [B, S, H] out."""
     from .pallas_attention import mha_pallas_packed

@@ -63,9 +63,9 @@ class ScoringEngine:
             attention_backend = (
                 "pallas_packed" if on_tpu and precision.compute_dtype != jnp.float32 else "xla"
             )
-        from ..ops.attention import set_attention_backend
+        from ..ops.attention import attention_backend as backend_ctx
 
-        set_attention_backend(attention_backend)
+        self._backend_ctx = backend_ctx
         self.attention_backend = attention_backend
         self.params = jax.device_put(params, replicated(self.mesh))
         self._batch_sharding = batch_sharding(self.mesh)
@@ -89,7 +89,10 @@ class ScoringEngine:
             for k, v in batch.items()
             if k not in ("product_id", "query_id")
         }
-        return self._score(self.params, device_batch)
+        # the backend global is read at trace time; scope it so engines with
+        # different backends can coexist (traces are cached afterwards)
+        with self._backend_ctx(self.attention_backend):
+            return self._score(self.params, device_batch)
 
     def score_stream(
         self, batches: Iterable[dict], stats: ScoringStats | None = None

@@ -37,6 +37,8 @@ def main() -> None:
                     help="auxiliary MLM loss weight (ImageBERT-A pretraining)")
     ap.add_argument("--ms-weight", type=float, default=0.0,
                     help="Multi-Similarity loss weight (A's MS-loss fine-tune)")
+    ap.add_argument("--resume", default=None,
+                    help="orbax state directory (state_<N>) to resume from")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +89,14 @@ def main() -> None:
     )
     trainer = Trainer(spec, tc)
     state = trainer.init_state(jax.random.key(args.seed))
+    if args.resume:
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
+            restore_pytree,
+        )
+
+        state = restore_pytree(args.resume, like=state)
+        state = jax.device_put(state, trainer._replicated)  # re-shard onto the mesh
+        print(f"resumed from {args.resume} at step {int(jax.device_get(state.step))}")
 
     def batches():
         while True:  # epochs
@@ -117,7 +127,9 @@ def main() -> None:
             log_metrics(step, metrics, metrics_file)
             log_metrics(step, metrics)
         if (step + 1) % args.checkpoint_every == 0 or step + 1 == args.steps:
+            # eval weights (EMA shadows when enabled) + full resumable state
             save_pytree(out_dir / f"step_{step + 1}", trainer.eval_params(state))
+            save_pytree(out_dir / f"state_{step + 1}", state)
     print(f"trained {args.steps} steps; sampler stats: {sampler.stats}")
 
 

@@ -165,3 +165,23 @@ def test_recall_cli(data_dir, tmp_path):
     rows = out.read_text().splitlines()
     assert len(rows) == 12
     assert all(len(row.split("\t")[1].split(",")) == 3 for row in rows)
+
+
+def test_train_resume(data_dir, tmp_path):
+    out_dir = tmp_path / "run"
+    base = [
+        "scripts/train.py",
+        "--model", "imagebert_b",
+        "--train-tsv", str(data_dir / "test.tsv"),
+        "--labels", str(data_dir / "labels.txt"),
+        "--query-labels", str(data_dir / "query_labels.txt"),
+        "--batch-size", "8",
+        "--out", str(out_dir),
+        "--checkpoint-every", "2",
+    ]
+    r = _run([*base, "--steps", "2"], timeout=540)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out_dir / "state_2").exists()
+    r = _run([*base, "--steps", "2", "--resume", str(out_dir / "state_2")], timeout=540)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resumed from" in r.stdout and "at step 2" in r.stdout
