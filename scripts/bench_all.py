@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Per-model device throughput report (one JSON line per model).
+
+bench.py remains the driver-facing single-line benchmark (flagship model);
+this prints all four scorer configs for documentation/regression tracking.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def make_batch(name: str, cfg, B: int, rng) -> dict:
+    if name in ("imagebert_a", "imagebert_b", "imagebert_c"):
+        b = {
+            "input_ids": rng.integers(0, cfg.vocab_size, (B, 20)).astype(np.int32),
+            "segment_ids": (
+                np.zeros((B, 20), np.int32)
+                if name == "imagebert_a"
+                else np.array([[0] * 20 + [1] * 10] * B, np.int32)
+            ),
+            "boxes": rng.standard_normal((B, 10, 5)).astype(np.float32),
+            "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+            "label_ids": rng.integers(0, cfg.vocab_size, (B, 10, 8)).astype(np.int32),
+        }
+        if name != "imagebert_a":
+            b["len_query"] = rng.integers(3, 21, (B,)).astype(np.int32)
+            b["num_boxes"] = rng.integers(1, 11, (B,)).astype(np.int32)
+            b["labels"] = np.ones((B,), np.int32)
+        return b
+    nb = rng.integers(1, 11, (B,))
+    nq = rng.integers(3, 24, (B,))
+    v = cfg.bert.vocab_size
+    return {
+        "input_ids": rng.integers(0, v, (B, 23)).astype(np.int32),
+        "input_mask": (np.arange(23)[None] < nq[:, None]).astype(np.int32),
+        "label_ids": rng.integers(0, v, (B, 10, 8)).astype(np.int32),
+        "label_mask": np.ones((B, 10, 8), np.int32),
+        "boxes": rng.standard_normal((B, 10, 4)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+        "feats_mask": (np.arange(10)[None] < nb[:, None]).astype(np.float32),
+    }
+
+
+def main() -> None:
+    import jax
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops import attention
+
+    B = int(__import__("os").environ.get("BENCH_BATCH", "8192"))
+    backend = "pallas_packed" if jax.default_backend() == "tpu" else "xla"
+    rng = np.random.default_rng(0)
+    for name in ("imagebert_a", "imagebert_b", "imagebert_c", "lxmert"):
+        spec = get_model(name)
+        params = jax.tree.map(
+            lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x,
+            spec.init_params(jax.random.key(0)),
+        )
+        batch = jax.device_put(make_batch(name, spec.config, B, rng))
+        with attention.attention_backend(backend):
+            f = jax.jit(lambda p, b: spec.apply(p, b, spec.config, Precision.bf16())["score"])
+            float(np.asarray(f(params, batch))[0])
+            t0 = time.perf_counter()
+            n_iters = 8
+            for _ in range(n_iters):
+                s = float(np.asarray(f(params, batch))[0])
+            rate = n_iters * B / (time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "model": name,
+                    "pairs_per_sec_per_chip": round(rate, 1),
+                    "batch": B,
+                    "backend": backend,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
