@@ -1,4 +1,5 @@
 from .fusion import (
+    single_model_top5,
     DEFAULT_WEIGHTS,
     FusionResult,
     build_submission,
@@ -12,6 +13,7 @@ from .fusion import (
 )
 
 __all__ = [
+    "single_model_top5",
     "DEFAULT_WEIGHTS",
     "FusionResult",
     "build_submission",

@@ -135,6 +135,15 @@ def top5_rows(
     return rows
 
 
+def single_model_top5(scores: ScoreTable, k: int = 5) -> dict[str, list[str]]:
+    """Direct top-k submission from one scorer's table (the testA flow,
+    ``run_pretraining_predict.py:520-598``: no fusion, no dedup filter)."""
+    return {
+        qid: [pid for pid, _ in sorted(row.items(), key=lambda kv: kv[1], reverse=True)[:k]]
+        for qid, row in scores.items()
+    }
+
+
 def write_submission(rows: Mapping[str, Iterable[str]], path) -> None:
     with open(path, "w", encoding="utf-8", newline="") as f:
         f.write("query-id,product1,product2,product3,product4,product5\r\n")

@@ -58,3 +58,13 @@ def test_row_and_query_counts(golden_paths):
     assert len(rows) == len(golden)
     for q, products in rows.items():
         assert len(products) == 5 and len(set(products)) == 5
+
+
+def test_single_model_top5():
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ensemble import (
+        single_model_top5,
+    )
+
+    scores = {"1": {"a": 0.1, "b": 0.9, "c": 0.5, "d": 0.2, "e": 0.8, "f": 0.3}}
+    rows = single_model_top5(scores)
+    assert rows["1"] == ["b", "e", "c", "f", "d"]
