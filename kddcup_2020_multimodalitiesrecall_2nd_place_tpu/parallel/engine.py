@@ -141,6 +141,11 @@ class ScoringEngine:
         batches = None
         if use_native or use_native is None:
             try:
+                # probe eagerly: generators/prefetch threads surface failures
+                # only at iteration time, too late to fall back
+                from ..data.native import get_lib
+
+                get_lib()
                 from ..data.fast_pipeline import native_batches_from_files
                 from ..data.pipeline import PrefetchIterator
 
