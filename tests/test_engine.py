@@ -97,3 +97,21 @@ def test_score_file_formats(tmp_path):
     csv_lines = c.read_text().splitlines()
     assert csv_lines[0] == "query-id,product-id,score"
     assert csv_lines[1] == "1,101,0.5"
+
+
+def test_score_stacked_matches_per_batch(spec, featurizer, tmp_path):
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import iter_batches
+
+    params = spec.init_params(jax.random.key(1))
+    engine = ScoringEngine(spec, params, precision=Precision.f32())
+    lines = make_tsv(16, seed=3)
+    batches = list(iter_batches(lines, featurizer.imagebert_a, 8))
+    per_batch = [np.asarray(engine.score_batch(dict(b))) for b in batches]
+    stacked = {
+        k: np.stack([b[k] for b in batches])
+        for k in batches[0]
+        if k not in ("product_id", "query_id")
+    }
+    all_scores = engine.score_stacked(stacked)
+    assert all_scores.shape == (2, 8)
+    np.testing.assert_allclose(all_scores, np.stack(per_batch), atol=1e-5)
