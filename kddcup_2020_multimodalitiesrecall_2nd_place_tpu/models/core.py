@@ -182,7 +182,12 @@ def attention_block(
     """Attend from x to ctx; project; residual + LN (post-LN BERT)."""
     n = cfg.num_attention_heads
     attn_rng, hid_rng = dropout_rngs if dropout_rngs else (None, None)
-    if packed_attention_active() and attn_rng is None and hid_rng is None:
+    if (
+        packed_attention_active()
+        and attn_rng is None
+        and hid_rng is None
+        and "kernel" in p["query"]  # int8 param dicts use the unfused path
+    ):
         # packed path: q/k/v stay [B, S, H]; kernels slice heads along
         # 64-aligned lanes, so no head transposes touch HBM
         if x is ctx and "kernel" in p["query"]:
