@@ -111,9 +111,9 @@ def test_imagebert_a_matches_reference_tf_graph(reference_dir):
     np.testing.assert_allclose(np.asarray(out["probs"]), tf_probs, atol=1e-4, rtol=1e-4)
 
 
-def test_imagebert_b_matches_reference_tf_graph(reference_dir, tmp_path):
-    """model_triple.model_attention_channel_e (image path + pixelbert 30-tok
-    BertModel + AM head) vs models/imagebert_b.py, same weights, tol 1e-4."""
+def _build_ref_b_graph(reference_dir, tmp_path):
+    """Build model_attention_channel_e's graph from the untouched reference
+    sources. -> (graph, probs_tensor, feed_dict, batch_for_jax)."""
     zk = reference_dir / "code/imagebert_zk"
     # model_triple.py:19 reads ../user_data/bert_config.json at import time
     (tmp_path / "user_data").mkdir()
@@ -155,23 +155,16 @@ def test_imagebert_b_matches_reference_tf_graph(reference_dir, tmp_path):
                 nb_ph, box_ph, feat_ph, lab_ph, None, ids_ph, lq_ph, y_ph, seg_ph,
                 None, None, is_training=False,
             )
-        (tf_probs,), tf_vars = run_graph(
-            graph,
-            [probs],
-            {
-                nb_ph: num_boxes,
-                box_ph: boxes,
-                feat_ph: features,
-                lab_ph: label_ids,
-                ids_ph: input_ids,
-                lq_ph: len_query,
-                y_ph: labels,
-                seg_ph: segment_ids,
-            },
-        )
-
-    cfg = _jax_cfg()
-    params = imagebert_b_from_tf(tf_vars, cfg, ema=False)
+        feed = {
+            nb_ph: num_boxes,
+            box_ph: boxes,
+            feat_ph: features,
+            lab_ph: label_ids,
+            ids_ph: input_ids,
+            lq_ph: len_query,
+            y_ph: labels,
+            seg_ph: segment_ids,
+        }
     batch = {
         "input_ids": input_ids,
         "segment_ids": segment_ids,
@@ -182,5 +175,63 @@ def test_imagebert_b_matches_reference_tf_graph(reference_dir, tmp_path):
         "num_boxes": num_boxes,
         "labels": labels,
     }
+    return graph, probs, feed, batch
+
+
+def _jax_b_probs(tf_vars, batch, ema: bool) -> np.ndarray:
+    cfg = _jax_cfg()
+    params = imagebert_b_from_tf(tf_vars, cfg, ema=ema)
     out = jax_b.apply(jax.tree.map(np.asarray, params), batch, cfg, Precision.f32())
-    np.testing.assert_allclose(np.asarray(out["probs"]), tf_probs, atol=1e-4, rtol=1e-4)
+    return np.asarray(out["probs"])
+
+
+def test_imagebert_b_matches_reference_tf_graph(reference_dir, tmp_path):
+    """model_triple.model_attention_channel_e (image path + pixelbert 30-tok
+    BertModel + AM head) vs models/imagebert_b.py, same weights, tol 1e-4."""
+    graph, probs, feed, batch = _build_ref_b_graph(reference_dir, tmp_path)
+    (tf_probs,), tf_vars = run_graph(graph, [probs], feed)
+    np.testing.assert_allclose(_jax_b_probs(tf_vars, batch, ema=False), tf_probs, atol=1e-4, rtol=1e-4)
+
+
+def test_tf_bundle_reads_real_saver_checkpoint_with_ema(reference_dir, tmp_path):
+    """Write a REAL tf.compat.v1.train.Saver checkpoint of the reference B
+    graph (incl. ``<name>/ExponentialMovingAverage`` shadows, as
+    evaluate_normal.py:204-212 restores), then assert:
+
+    1. the pure-python tensor_bundle reader matches TF's own reader
+       bit-for-bit on every tensor,
+    2. ``imagebert_b_from_tf(ema=True)`` from the checkpoint reproduces the
+       session's scores even after the raw variables are perturbed,
+    3. ``ema=False`` picks the perturbed raw weights instead (scores move).
+    """
+    import tensorflow.compat.v1 as tf1
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint.tf_bundle import (
+        _read_pure_python,
+        _read_with_tensorflow,
+    )
+
+    graph, probs, feed, batch = _build_ref_b_graph(reference_dir, tmp_path)
+    with graph.as_default():
+        ema = tf1.train.ExponentialMovingAverage(0.997)
+        ema_op = ema.apply(tf1.trainable_variables())
+        perturb = [v.assign(v + 0.05) for v in tf1.trainable_variables()]
+        saver = tf1.train.Saver(tf1.global_variables())
+    prefix = str(tmp_path / "ckpt" / "model.ckpt-251")
+    with tf1.Session(graph=graph) as sess:
+        sess.run(tf1.global_variables_initializer())
+        tf_probs = sess.run(probs, feed_dict=feed)
+        sess.run(ema_op)  # shadows snapshot the scoring weights
+        sess.run(perturb)  # raw vars drift away, shadows keep the snapshot
+        saver.save(sess, prefix)
+
+    pure = _read_pure_python(prefix)
+    via_tf = _read_with_tensorflow(prefix)
+    assert sorted(pure) == sorted(via_tf)
+    assert any(k.endswith("/ExponentialMovingAverage") for k in pure)
+    for name in via_tf:
+        np.testing.assert_array_equal(pure[name], via_tf[name], err_msg=name)
+
+    np.testing.assert_allclose(_jax_b_probs(pure, batch, ema=True), tf_probs, atol=1e-4, rtol=1e-4)
+    raw_probs = _jax_b_probs(pure, batch, ema=False)
+    assert not np.allclose(raw_probs, tf_probs, atol=1e-3)
