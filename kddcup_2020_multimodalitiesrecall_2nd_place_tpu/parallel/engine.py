@@ -83,6 +83,21 @@ class ScoringEngine:
 
         self._score = _score
 
+        # whole-dataset path: [n_batches, batch_size, ...] stacks, lax.map
+        # over the leading axis, each inner batch split over the data axis.
+        # Defined once here so repeat calls hit the same jit cache entry.
+        stacked_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        self._stacked_sharding = stacked_sharding
+
+        @partial(jax.jit, out_shardings=stacked_sharding)
+        def _score_all(params, stacked):
+            return jax.lax.map(
+                lambda b: model.apply(params, b, model.config, precision)["score"],
+                stacked,
+            )
+
+        self._score_all = _score_all
+
     def score_batch(self, batch: dict) -> jax.Array:
         device_batch = {
             k: jax.device_put(v, self._batch_sharding)
@@ -133,25 +148,13 @@ class ScoringEngine:
         stacked_batches: dict of [n_batches, batch_size, ...] arrays
         (meta keys excluded). -> scores [n_batches, batch_size].
         """
-        params = self.params
-        model = self.model
-        precision = self.precision
-
         with self._backend_ctx(self.attention_backend):
-
-            @jax.jit
-            def _score_all(params, stacked):
-                return jax.lax.map(
-                    lambda b: model.apply(params, b, model.config, precision)["score"],
-                    stacked,
-                )
-
             device_batches = {
-                k: jax.device_put(v)
+                k: jax.device_put(v, self._stacked_sharding)
                 for k, v in stacked_batches.items()
                 if k not in META_KEYS
             }
-            return np.asarray(_score_all(params, device_batches))
+            return np.asarray(self._score_all(self.params, device_batches))
 
     def score_files(
         self,

@@ -115,3 +115,18 @@ def test_score_stacked_matches_per_batch(spec, featurizer, tmp_path):
     all_scores = engine.score_stacked(stacked)
     assert all_scores.shape == (2, 8)
     np.testing.assert_allclose(all_scores, np.stack(per_batch), atol=1e-5)
+
+    # one trace per engine: a second call must reuse the cached executable
+    before = engine._score_all._cache_size()
+    again = engine.score_stacked(stacked)
+    np.testing.assert_allclose(again, all_scores, atol=0)
+    assert engine._score_all._cache_size() == before == 1
+
+    # and the stacked batch rides the mesh: inner batch axis sharded over
+    # all data-axis devices (8 virtual CPU devices in the suite)
+    device_stacked = {
+        k: jax.device_put(v, engine._stacked_sharding) for k, v in stacked.items()
+    }
+    n_data = engine.mesh.shape["data"]
+    assert len(device_stacked["input_ids"].sharding.device_set) == n_data
+    assert n_data == 8
