@@ -101,6 +101,55 @@ def am_loss(p: Params, pooled: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.mean(jnp.sum(one_hot * log_probs, axis=-1))
 
 
+# ---- B word-match auxiliary head ---------------------------------------------
+#
+# ``model_triple.py:108-160`` + the per-position query heads of
+# ``pixelbert.py:268-278``: a shared tanh projection of sequence positions
+# 1..18 and per-position binary classifiers, CE-weighted by which query
+# slots are real words. The reference ships this commented out (training
+# ran with it off); it is exposed behind a default-off switch
+# (``TrainConfig.word_match_loss_weight``).
+
+
+def word_match_head_init(rng, cfg: BertConfig, n_positions: int = 18) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {
+        # the shared 'kdd' tanh dense (pixelbert.py:272-277, AUTO_REUSE)
+        "kdd": dense_init(k1, cfg.hidden_size, cfg.hidden_size, cfg.initializer_range),
+        # per-position output_weights<i>/output_bias<i>, stacked
+        "output_weights": trunc_normal(
+            k2, (n_positions, 2, cfg.hidden_size), cfg.initializer_range
+        ),
+        "output_bias": jnp.zeros((n_positions, 2), jnp.float32),
+    }
+
+
+def word_match_loss(
+    p: Params,
+    seq: jax.Array,
+    labels: jax.Array,
+    weights: jax.Array,
+    prec: Precision,
+) -> jax.Array:
+    """Sum over positions of batch-mean weighted CE (the reference
+    accumulates ``loss += loss_i`` per index: model_triple.py:207-210)."""
+    n = p["output_bias"].shape[0]
+    h = jnp.tanh(dense(p["kdd"], seq[:, 1 : 1 + n].astype(jnp.float32), prec))
+    logits = (
+        jnp.einsum(
+            "bth,tch->btc",
+            h,
+            p["output_weights"].astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + p["output_bias"]
+    )
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    one_hot = jax.nn.one_hot(labels, 2, dtype=jnp.float32)
+    per = -jnp.sum(one_hot * log_probs, axis=-1) * weights  # [B, n]
+    return jnp.sum(jnp.mean(per, axis=0))
+
+
 # ---- tied-embedding MLM ------------------------------------------------------
 
 

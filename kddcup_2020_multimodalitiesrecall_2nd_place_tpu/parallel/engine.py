@@ -98,6 +98,11 @@ class ScoringEngine:
 
         self._score_all = _score_all
 
+    def update_params(self, params) -> None:
+        """Swap in new weights (e.g. EMA shadows during a training run's
+        valid loop) without retracing: shapes unchanged -> same executable."""
+        self.params = jax.device_put(params, replicated(self.mesh))
+
     def score_batch(self, batch: dict) -> jax.Array:
         device_batch = {
             k: jax.device_put(v, self._batch_sharding)

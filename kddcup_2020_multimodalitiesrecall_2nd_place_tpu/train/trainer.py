@@ -56,6 +56,13 @@ class TrainConfig:
     ema_decay: float | None = None
     ms_loss_weight: float = 0.0
     mlm_loss_weight: float = 0.0
+    # LXMERT --taskAMSloss: train the cosine logit_W head instead of logit_fc
+    # (tasks/kdd_model.py:207-210; the AM formulation follows the B head,
+    # the lxmert training driver itself is not shipped)
+    am_loss: bool = False
+    # B word-match auxiliary loss, default off = the reference's
+    # commented-out state (model_triple.py:207-210)
+    word_match_loss_weight: float = 0.0
 
 
 def recipe_for(model_name: str) -> TrainConfig:
@@ -92,11 +99,32 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Callable:
     name = model.name
 
+    def mlm_term(params, out, batch, seq_key: str):
+        """Tied-embedding MLM CE over masked text positions
+        (run_pretraining's cls/predictions path, :433-476; for LXMERT the
+        ``cls`` BertPreTrainingHeads of tasks/kdd_model.py:177-181)."""
+        pos = batch["masked_lm_positions"]  # [B, P]
+        hidden = jnp.take_along_axis(out[seq_key], pos[..., None], axis=1)
+        logits = heads.mlm_logits(
+            params["cls"]["predictions"],
+            hidden,
+            params["bert"]["embeddings"]["word_embeddings"],
+            precision,
+        )
+        return heads.mlm_loss(logits, batch["masked_lm_ids"], batch["masked_lm_weights"])
+
     def loss_fn(params, batch, rng):
         model_batch = {
-            k: v for k, v in batch.items() if not k.startswith("masked_lm")
+            k: v
+            for k, v in batch.items()
+            if not k.startswith(("masked_lm", "word_match"))
         }
-        out = model.apply(params, model_batch, model.config, precision, rng=rng)
+        apply_kwargs = {}
+        if name == "lxmert" and tc.am_loss:
+            apply_kwargs["use_am_head"] = True
+        out = model.apply(
+            params, model_batch, model.config, precision, rng=rng, **apply_kwargs
+        )
         metrics = {}
         if name == "imagebert_a":
             loss = heads.nsp_loss(
@@ -105,31 +133,39 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
             if tc.ms_loss_weight:
                 loss = loss + tc.ms_loss_weight * ms_loss(batch["labels"], out["pooled"])
             if tc.mlm_loss_weight and "masked_lm_positions" in batch:
-                # gather masked positions from the text block of the sequence
-                # (run_pretraining's cls/predictions path, :433-476)
-                pos = batch["masked_lm_positions"]  # [B, P]
-                hidden = jnp.take_along_axis(
-                    out["sequence"], pos[..., None], axis=1
-                )
-                logits = heads.mlm_logits(
-                    params["cls"]["predictions"],
-                    hidden,
-                    params["bert"]["embeddings"]["word_embeddings"],
-                    precision,
-                )
-                mlm = heads.mlm_loss(
-                    logits, batch["masked_lm_ids"], batch["masked_lm_weights"]
-                )
+                mlm = mlm_term(params, out, batch, "sequence")
                 metrics["mlm_loss"] = mlm
                 loss = loss + tc.mlm_loss_weight * mlm
         elif name in ("imagebert_b", "imagebert_c"):
             loss = heads.am_loss(
                 params["cls"]["seq_relationship"], out["pooled"], batch["labels"]
             )
+            if tc.word_match_loss_weight and "word_match_labels" in batch:
+                wm = heads.word_match_loss(
+                    params["kdd_query_match"],
+                    out["sequence"],
+                    batch["word_match_labels"],
+                    batch["word_match_weights"],
+                    precision,
+                )
+                metrics["word_match_loss"] = wm
+                loss = loss + tc.word_match_loss_weight * wm
         elif name == "lxmert":
-            log_probs = jax.nn.log_softmax(out["logit"], axis=-1)
+            if tc.am_loss:
+                # out["logit"] are cosines from the logit_W head
+                logits = heads.am_margin_logits(
+                    jnp.clip(out["logit"].astype(jnp.float32), -1.0, 1.0),
+                    batch["labels"],
+                )
+            else:
+                logits = out["logit"]
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
             one_hot = jax.nn.one_hot(batch["labels"], 2, dtype=jnp.float32)
             loss = -jnp.mean(jnp.sum(one_hot * log_probs, axis=-1))
+            if tc.mlm_loss_weight and "masked_lm_positions" in batch:
+                mlm = mlm_term(params, out, batch, "lang")
+                metrics["mlm_loss"] = mlm
+                loss = loss + tc.mlm_loss_weight * mlm
         else:
             raise ValueError(name)
         preds = jnp.argmax(out["probs"], axis=-1)
@@ -181,7 +217,15 @@ class Trainer:
         self._step = _step
 
     def init_state(self, rng: jax.Array) -> TrainState:
-        params = jax.device_put(self.model.init_params(rng), self._replicated)
+        params = self.model.init_params(rng)
+        if self.tc.word_match_loss_weight and "kdd_query_match" not in params:
+            # auxiliary head lives outside the checkpoint schema; created
+            # only when the (default-off) word-match loss is enabled
+            params = dict(params)
+            params["kdd_query_match"] = heads.word_match_head_init(
+                jax.random.fold_in(rng, 1), self.model.config
+            )
+        params = jax.device_put(params, self._replicated)
         opt_state = jax.device_put(self.tx.init(params), self._replicated)
         ema = ema_init(params) if self.tc.ema_decay else None
         return TrainState(params, opt_state, ema, jnp.zeros((), jnp.int32))

@@ -39,7 +39,22 @@ def main() -> None:
                     help="Multi-Similarity loss weight (A's MS-loss fine-tune)")
     ap.add_argument("--resume", default=None,
                     help="orbax state directory (state_<N>) to resume from")
+    ap.add_argument("--am-loss", action="store_true",
+                    help="LXMERT: train the cosine logit_W head (--taskAMSloss)")
+    ap.add_argument("--word-match-weight", type=float, default=0.0,
+                    help="B word-match aux loss weight (reference default: off)")
+    ap.add_argument("--valid-tsv", nargs="+", default=None,
+                    help="valid.tsv shards: enables the training-time nDCG@5 "
+                         "loop + best-checkpoint selection (the reference's "
+                         "finetune_valid workflow, train_normal.py:210-213)")
+    ap.add_argument("--answers", default=None,
+                    help="valid_answer.json for the valid loop")
+    ap.add_argument("--valid-every", type=int, default=0,
+                    help="steps between valid evals (0 = only at the end)")
+    ap.add_argument("--valid-batch-size", type=int, default=None)
     args = ap.parse_args()
+    if bool(args.valid_tsv) != bool(args.answers):
+        ap.error("--valid-tsv and --answers must be given together")
 
     import jax
     import numpy as np
@@ -86,6 +101,8 @@ def main() -> None:
         recipe_for(spec.name),
         mlm_loss_weight=args.mlm_weight,
         ms_loss_weight=args.ms_weight,
+        am_loss=args.am_loss,
+        word_match_loss_weight=args.word_match_weight,
     )
     trainer = Trainer(spec, tc)
     state = trainer.init_state(jax.random.key(args.seed))
@@ -115,11 +132,50 @@ def main() -> None:
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     metrics_file = open(out_dir / "metrics.jsonl", "a")
+
+    # --- training-time valid loop (the reference steered its B fine-tune by
+    # valid nDCG: the shipped checkpoint is finetune_valid.ckpt-251) ---------
+    engine = None
+    best_ndcg = -1.0
+
+    def run_valid(step: int) -> None:
+        nonlocal engine, best_ndcg
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.eval.ndcg import (
+            evaluate_scores,
+            load_answers,
+        )
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import (
+            ScoringEngine,
+        )
+
+        params = jax.device_get(trainer.eval_params(state))
+        if engine is None:
+            engine = ScoringEngine(
+                spec, params, mesh=trainer.mesh, precision=trainer.precision,
+                donate_batch=False,
+            )
+        else:
+            engine.update_params(params)
+        result = engine.score_files(
+            args.valid_tsv, featurizer,
+            batch_size=args.valid_batch_size or args.batch_size,
+        )
+        ndcg = evaluate_scores(result, load_answers(args.answers))
+        log_metrics(step, {"valid_ndcg5": ndcg}, metrics_file)
+        log_metrics(step, {"valid_ndcg5": ndcg})
+        if ndcg > best_ndcg:
+            best_ndcg = ndcg
+            save_pytree(out_dir / "best", params)
+            (out_dir / "best_metadata.json").write_text(
+                __import__("json").dumps({"step": step, "valid_ndcg5": ndcg})
+            )
+
     rngs = jax.random.split(jax.random.key(args.seed + 1), args.steps)
     for step, batch in enumerate(itertools.islice(batches(), args.steps)):
-        # word-match fields are loader-only (the aux head is off by default);
-        # masked_lm fields feed the MLM loss when --mlm-weight is set
-        batch = {k: v for k, v in batch.items() if not k.startswith("word_match")}
+        # word-match fields feed the aux head only when enabled; masked_lm
+        # fields feed the MLM loss when --mlm-weight is set
+        if not args.word_match_weight:
+            batch = {k: v for k, v in batch.items() if not k.startswith("word_match")}
         if not args.mlm_weight:
             batch = {k: v for k, v in batch.items() if not k.startswith("masked_lm")}
         state, metrics = trainer.train_step(state, batch, rngs[step])
@@ -130,6 +186,13 @@ def main() -> None:
             # eval weights (EMA shadows when enabled) + full resumable state
             save_pytree(out_dir / f"step_{step + 1}", trainer.eval_params(state))
             save_pytree(out_dir / f"state_{step + 1}", state)
+        if args.valid_tsv and (
+            (args.valid_every and (step + 1) % args.valid_every == 0)
+            or step + 1 == args.steps
+        ):
+            run_valid(step + 1)
+    if args.valid_tsv:
+        print(f"best valid nDCG@5 {best_ndcg:.4f} (checkpoint in {out_dir / 'best'})")
     print(f"trained {args.steps} steps; sampler stats: {sampler.stats}")
 
 

@@ -137,6 +137,47 @@ def test_train_cli(data_dir, tmp_path):
     assert (out_dir / "step_2").exists()
 
 
+def test_train_cli_valid_loop(data_dir, tmp_path):
+    """--valid-tsv/--answers: training-time nDCG@5 + best-checkpoint
+    selection (the reference's finetune_valid workflow)."""
+    # ground truth: every product each query appears with in the tsv
+    answers: dict[str, list[int]] = {}
+    for line in (data_dir / "test.tsv").read_text().splitlines()[1:]:
+        cols = line.split("\t")
+        answers.setdefault(cols[-1], []).append(int(cols[0]))
+    answers_path = tmp_path / "valid_answer.json"
+    answers_path.write_text(json.dumps(answers))
+
+    out_dir = tmp_path / "run"
+    r = _run(
+        [
+            "scripts/train.py",
+            "--model", "imagebert_b",
+            "--train-tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--query-labels", str(data_dir / "query_labels.txt"),
+            "--steps", "2",
+            "--batch-size", "8",
+            "--out", str(out_dir),
+            "--checkpoint-every", "2",
+            "--valid-tsv", str(data_dir / "test.tsv"),
+            "--answers", str(answers_path),
+            "--valid-every", "1",
+        ],
+        timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = [
+        json.loads(l) for l in (out_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    ndcgs = [m["valid_ndcg5"] for m in metrics if "valid_ndcg5" in m]
+    assert len(ndcgs) == 2  # evaluated at both steps
+    assert all(0.0 <= v <= 1.0 for v in ndcgs)
+    assert (out_dir / "best").exists()
+    meta = json.loads((out_dir / "best_metadata.json").read_text())
+    assert meta["valid_ndcg5"] == pytest.approx(max(ndcgs))
+
+
 def test_recall_cli(data_dir, tmp_path):
     catalog = tmp_path / "catalog.npz"
     r = _run(

@@ -203,3 +203,95 @@ def test_mlm_aux_loss_for_imagebert_a():
     assert "mlm_loss" not in m0 and "mlm_loss" in m1
     assert float(l1) > float(l0)  # random-init MLM loss ~ log(vocab) added
     assert np.isfinite(float(m1["mlm_loss"]))
+
+
+def test_lxmert_mlm_and_am_losses():
+    """--taskMaskLM / --taskAMSloss analogues (tasks/kdd_model.py:177-212)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import lxmert
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.lxmert import (
+        LxmertConfig,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train.trainer import (
+        make_loss_fn,
+    )
+
+    lcfg = LxmertConfig(bert=TINY, l_layers=2, x_layers=2, r_layers=2)
+    spec = ModelSpec(
+        "lxmert",
+        lcfg,
+        init=lambda rng: lxmert.init_params(rng, lcfg),
+        apply=lxmert.apply,
+        featurizer_layout="lxmert",
+    )
+    params = spec.init_params(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    B, P = 4, 6
+    nq = rng.integers(3, 24, (B,))
+    nb = rng.integers(1, 11, (B,))
+    batch = {
+        "input_ids": rng.integers(0, TINY.vocab_size, (B, 23)).astype(np.int32),
+        "input_mask": (np.arange(23)[None] < nq[:, None]).astype(np.int32),
+        "label_ids": rng.integers(0, TINY.vocab_size, (B, 10, 8)).astype(np.int32),
+        "label_mask": np.ones((B, 10, 8), np.int32),
+        "boxes": rng.standard_normal((B, 10, 4)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+        "feats_mask": (np.arange(10)[None] < nb[:, None]).astype(np.float32),
+        "labels": rng.integers(0, 2, (B,)).astype(np.int32),
+        "masked_lm_positions": rng.integers(1, 20, (B, P)).astype(np.int32),
+        "masked_lm_ids": rng.integers(0, TINY.vocab_size, (B, P)).astype(np.int32),
+        "masked_lm_weights": (rng.random((B, P)) > 0.3).astype(np.float32),
+    }
+    lf_plain = make_loss_fn(spec, TrainConfig(), Precision.f32())
+    lf_mlm = make_loss_fn(spec, TrainConfig(mlm_loss_weight=1.0), Precision.f32())
+    lf_am = make_loss_fn(spec, TrainConfig(am_loss=True), Precision.f32())
+    l0, m0 = jax.jit(lf_plain)(params, batch, None)
+    l1, m1 = jax.jit(lf_mlm)(params, batch, None)
+    l2, m2 = jax.jit(lf_am)(params, batch, None)
+    assert "mlm_loss" not in m0 and "mlm_loss" in m1
+    assert float(l1) > float(l0)
+    assert np.isfinite(float(m1["mlm_loss"]))
+    # AM path trains a different head: loss comes from scaled margined
+    # cosines, so it must differ from the logit_fc CE and stay finite
+    assert np.isfinite(float(l2)) and float(l2) != pytest.approx(float(l0))
+
+    # gradients flow into logit_W only on the AM path
+    gw_plain = jax.grad(lambda p: lf_plain(p, batch, None)[0])(params)["logit_W"]
+    gw_am = jax.grad(lambda p: lf_am(p, batch, None)[0])(params)["logit_W"]
+    assert np.allclose(np.asarray(gw_plain), 0.0)
+    assert not np.allclose(np.asarray(gw_am), 0.0)
+
+
+def test_word_match_loss_for_imagebert_b():
+    """The default-off word-match auxiliary loss (model_triple.py:108-160,
+    shipped commented out) trains through the full step when enabled."""
+    spec = _tiny_spec("imagebert_b")
+    trainer = Trainer(
+        spec,
+        TrainConfig(
+            optimizer="adam_staircase", clip="value", word_match_loss_weight=1.0
+        ),
+        precision=Precision.f32(),
+    )
+    state = trainer.init_state(jax.random.key(0))
+    assert "kdd_query_match" in state.params
+
+    rng = np.random.default_rng(2)
+    B = 8
+    batch = {
+        "input_ids": rng.integers(0, TINY.vocab_size, (B, 20)).astype(np.int32),
+        "segment_ids": np.array([[0] * 20 + [1] * 10] * B, np.int32),
+        "boxes": rng.standard_normal((B, 10, 5)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+        "label_ids": rng.integers(0, TINY.vocab_size, (B, 10, 8)).astype(np.int32),
+        "len_query": rng.integers(3, 21, (B,)).astype(np.int32),
+        "num_boxes": rng.integers(1, 11, (B,)).astype(np.int32),
+        "labels": rng.integers(0, 2, (B,)).astype(np.int32),
+        "word_match_labels": rng.integers(0, 2, (B, 18)).astype(np.int32),
+        "word_match_weights": (rng.random((B, 18)) > 0.4).astype(np.float32),
+    }
+    head0 = np.asarray(state.params["kdd_query_match"]["output_weights"]).copy()
+    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["word_match_loss"]))
+    assert float(metrics["loss"]) > float(metrics["word_match_loss"]) * 0  # finite
+    head1 = np.asarray(state.params["kdd_query_match"]["output_weights"])
+    assert not np.allclose(head0, head1)  # the aux head actually trains
