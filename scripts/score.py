@@ -69,6 +69,12 @@ def main() -> None:
     ap.add_argument("--answers", default=None,
                     help="valid_answer.json: report nDCG@5 of this scorer "
                          "(the reference's run_pretraining_evaluate flow)")
+    ap.add_argument("--expect-pairs", type=int, default=None,
+                    help="fail unless exactly N pairs were scored -- the "
+                         "reference's count asserts (29005 valid / 28830 "
+                         "testB / 14720 per valid tower: "
+                         "run_pretraining_evaluate.py:580-583, "
+                         "run_pretraining_predict.py:578)")
     args = ap.parse_args()
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
@@ -104,6 +110,14 @@ def main() -> None:
     engine = ScoringEngine(spec, params, precision=prec)
     stats = ScoringStats()
     result = engine.score_files(args.tsv, featurizer, args.batch_size, stats=stats)
+    if args.expect_pairs is not None and stats.pairs != args.expect_pairs:
+        print(
+            f"ERROR: scored {stats.pairs} pairs, expected {args.expect_pairs} "
+            f"({stats.pipeline.errors} parse errors) -- refusing to write a "
+            f"short score file",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
     writer = write_scores_csv if args.model == "lxmert" else write_scores_tsv
     writer(result, args.out)
     if args.answers:
