@@ -27,9 +27,11 @@ from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
     lxmert,
 )
 
-B, HID, HEADS, INTER, VOCAB = 2, 32, 4, 53, 67
-FEAT_DIM = 48
-L_LAYERS = X_LAYERS = R_LAYERS = 2
+B = 2
+# (hid, heads, inter, vocab, feat_dim, l_layers, x_layers, r_layers)
+TOY = (32, 4, 53, 67, 48, 2, 2, 2)
+# the real deployment shape: BERT-Base widths, 9/5/5 (modeling.py:536-608)
+FULL = (768, 12, 3072, 21128, 2048, 9, 5, 5)
 
 
 def _load_reference_modeling(reference_dir):
@@ -56,22 +58,22 @@ def ref_modeling(reference_dir):
         pytest.skip(f"reference modeling unimportable: {e}")
 
 
-def test_lxmert_matches_reference_torch(ref_modeling):
-    m = ref_modeling
-    m.VISUAL_CONFIG.l_layers = L_LAYERS
-    m.VISUAL_CONFIG.x_layers = X_LAYERS
-    m.VISUAL_CONFIG.r_layers = R_LAYERS
-    m.VISUAL_CONFIG.visual_feat_dim = FEAT_DIM
+def _cross_check(m, dims, atol, rtol):
+    hid, heads, inter, vocab, feat_dim, l_layers, x_layers, r_layers = dims
+    m.VISUAL_CONFIG.l_layers = l_layers
+    m.VISUAL_CONFIG.x_layers = x_layers
+    m.VISUAL_CONFIG.r_layers = r_layers
+    m.VISUAL_CONFIG.visual_feat_dim = feat_dim
     m.VISUAL_CONFIG.visual_pos_dim = 4
-    m.VISUAL_CONFIG.boxes_label_dim = HID
+    m.VISUAL_CONFIG.boxes_label_dim = hid
 
     cfg = m.BertConfig(
-        vocab_size_or_config_json_file=VOCAB,
-        hidden_size=HID,
-        num_hidden_layers=L_LAYERS,
-        num_attention_heads=HEADS,
-        intermediate_size=INTER,
-        max_position_embeddings=64,
+        vocab_size_or_config_json_file=vocab,
+        hidden_size=hid,
+        num_hidden_layers=l_layers,
+        num_attention_heads=heads,
+        intermediate_size=inter,
+        max_position_embeddings=512,
         type_vocab_size=2,
     )
     torch.manual_seed(0)
@@ -82,12 +84,12 @@ def test_lxmert_matches_reference_torch(ref_modeling):
     nq = rng.integers(3, 24, (B,))
     nb = rng.integers(1, 11, (B,))
     batch = {
-        "input_ids": rng.integers(0, VOCAB, (B, 23)).astype(np.int32),
+        "input_ids": rng.integers(0, vocab, (B, 23)).astype(np.int32),
         "input_mask": (np.arange(23)[None] < nq[:, None]).astype(np.int32),
-        "label_ids": rng.integers(0, VOCAB, (B, 10, 8)).astype(np.int32),
+        "label_ids": rng.integers(0, vocab, (B, 10, 8)).astype(np.int32),
         "label_mask": np.ones((B, 10, 8), np.int32),
         "boxes": rng.standard_normal((B, 10, 4)).astype(np.float32),
-        "features": rng.standard_normal((B, 10, FEAT_DIM)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, feat_dim)).astype(np.float32),
         "feats_mask": (np.arange(10)[None] < nb[:, None]).astype(np.float32),
     }
 
@@ -105,17 +107,17 @@ def test_lxmert_matches_reference_torch(ref_modeling):
 
     lcfg = LxmertConfig(
         bert=BertConfig(
-            vocab_size=VOCAB,
-            hidden_size=HID,
-            num_hidden_layers=L_LAYERS,
-            num_attention_heads=HEADS,
-            intermediate_size=INTER,
-            max_position_embeddings=64,
+            vocab_size=vocab,
+            hidden_size=hid,
+            num_hidden_layers=l_layers,
+            num_attention_heads=heads,
+            intermediate_size=inter,
+            max_position_embeddings=512,
         ),
-        l_layers=L_LAYERS,
-        x_layers=X_LAYERS,
-        r_layers=R_LAYERS,
-        visual_feat_dim=FEAT_DIM,
+        l_layers=l_layers,
+        x_layers=x_layers,
+        r_layers=r_layers,
+        visual_feat_dim=feat_dim,
     )
     sd = {k: v.numpy() for k, v in model.state_dict().items()}
     params = lxmert_from_torch(sd, lcfg)
@@ -125,11 +127,25 @@ def test_lxmert_matches_reference_torch(ref_modeling):
     out = lxmert.apply(full, batch, lcfg, Precision.f32())
 
     np.testing.assert_allclose(
-        np.asarray(out["pooled"]), pooled_t.numpy(), atol=2e-5, rtol=1e-4
+        np.asarray(out["pooled"]), pooled_t.numpy(), atol=atol, rtol=rtol
     )
     np.testing.assert_allclose(
-        np.asarray(out["lang"]), lang_t.numpy(), atol=2e-5, rtol=1e-4
+        np.asarray(out["lang"]), lang_t.numpy(), atol=atol, rtol=rtol
     )
     np.testing.assert_allclose(
-        np.asarray(out["visn"]), visn_t.numpy(), atol=2e-5, rtol=1e-4
+        np.asarray(out["visn"]), visn_t.numpy(), atol=atol, rtol=rtol
     )
+
+
+def test_lxmert_matches_reference_torch(ref_modeling):
+    _cross_check(ref_modeling, TOY, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("KMR_SLOW_TESTS"),
+    reason="full-size cross-check (~2 min CPU); opt in with KMR_SLOW_TESTS=1",
+)
+def test_lxmert_matches_reference_torch_full_size(ref_modeling):
+    """Depth-19, BERT-Base-width 9/5/5 agreement through the real importer
+    (modeling.py:536-608). f32 drift accumulates over 19 layers; 1e-4 holds."""
+    _cross_check(ref_modeling, FULL, atol=1e-4, rtol=1e-3)
