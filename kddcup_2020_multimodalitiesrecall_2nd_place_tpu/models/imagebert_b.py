@@ -78,21 +78,31 @@ def _label_conv(p: Params, emb: jax.Array, prec: Precision) -> jax.Array:
     """SAME-padded width-8 conv over the label-token axis, ReLU, then mean.
 
     emb: [B, 10, 8, H] -> [B, 10, H]. TF SAME for kernel 8 over width 8
-    pads 3 left / 4 right; output position w sees tokens [w-3, w+4].
+    pads 3 left / 4 right; output position w sees tokens [w-3, w+4]
+    (``model_triple.py:189-190``, slim.conv2d ``kdd_conv1``).
+
+    Computed as ONE banded [8H, 8H] matmul instead of 8 shifted einsums:
+    out[..., w, :] = sum_t emb[..., t, :] @ W[t - w + 3], so flattening the
+    token axis into the contraction gives a single well-tiled MXU matmul and
+    no per-tap [B, 10, 8, H] float32 accumulation temporaries in HBM. The
+    ~19% zero blocks (|t - w + 3| out of range) are cheaper than the eight
+    extra HBM round-trips they replace.
     """
-    w = p["weights"].astype(prec.compute_dtype)  # [8, H_in, H_out]
-    x = emb.astype(prec.compute_dtype)
-    padded = jnp.pad(x, ((0, 0), (0, 0), (3, 4), (0, 0)))
-    # windows: out[..., w, :] = sum_j padded[..., w+j, :] @ W[j]
-    out = jnp.zeros(x.shape[:3] + (w.shape[-1],), jnp.float32)
-    for j in range(8):
-        out = out + jnp.einsum(
-            "bnth,hg->bntg",
-            jax.lax.dynamic_slice_in_dim(padded, j, 8, axis=2),
-            w[j],
-            preferred_element_type=jnp.float32,
-            precision=prec.matmul,
-        )
+    w = p["weights"].astype(prec.compute_dtype)  # [8(tap), H_in, H_out]
+    b, n, t, h = emb.shape  # t == 8
+    zero = jnp.zeros_like(w[0])
+    cols = []
+    for wo in range(t):
+        taps = [
+            w[ti - wo + 3] if 0 <= ti - wo + 3 < w.shape[0] else zero
+            for ti in range(t)
+        ]
+        cols.append(jnp.stack(taps, 0))  # [t_in, H_in, H_out]
+    wband = jnp.stack(cols, 2).reshape(t * h, t * w.shape[-1])  # [(t,h_in),(w,h_out)]
+    x2 = emb.astype(prec.compute_dtype).reshape(b * n, t * h)
+    out = jnp.dot(
+        x2, wband, preferred_element_type=jnp.float32, precision=prec.matmul
+    ).reshape(b, n, t, w.shape[-1])
     out = jax.nn.relu(out + p["biases"])
     return jnp.mean(out, axis=2)
 

@@ -124,8 +124,12 @@ def bert_embed(
     cfg: BertConfig,
     token_type_ids: jax.Array | None = None,
     rng: jax.Array | None = None,
+    out_dtype=None,
 ) -> jax.Array:
-    """BertEmbeddings (modeling.py:269-297): word + pos(arange) + type, LN."""
+    """BertEmbeddings (modeling.py:269-297): word + pos(arange) + type, LN.
+
+    ``out_dtype`` narrows the emitted activations (LN math stays float32);
+    the label path's [B, 10, 8, H] block is the big win in bf16 mode."""
     seq = input_ids.shape[-1]
     x = emb["word_embeddings"][input_ids]
     x = x + emb["position_embeddings"][:seq]
@@ -133,7 +137,7 @@ def bert_embed(
         x = x + emb["token_type_embeddings"][0]
     else:
         x = x + emb["token_type_embeddings"][token_type_ids]
-    x = layer_norm(emb["LayerNorm"], x)
+    x = layer_norm(emb["LayerNorm"], x, out_dtype=out_dtype)
     if rng is not None:
         x = dropout(x, cfg.hidden_dropout_prob, rng)
     return x
@@ -151,9 +155,13 @@ def visual_encoder(
     x = layer_norm(p["visn_layer_norm"], dense(p["visn_fc"], batch["features"], prec))
     y = layer_norm(p["box_layer_norm"], dense(p["box_fc"], batch["boxes"], prec))
     w = p["label_conv"]["weights"]
+    # f32 math regardless of the activation dtype: the 8-tap mix is tiny,
+    # and the f32 accumulate keeps bf16-mode drift out of the /3 average
     z = (
         jnp.einsum(
-            "bnth,t->bnh", label_emb.astype(jnp.float32), w,
+            "bnth,t->bnh",
+            label_emb.astype(jnp.float32),
+            w,
             precision=jax.lax.Precision.HIGHEST,
         )
         + p["label_conv"]["biases"]
@@ -194,9 +202,13 @@ def apply(
     lang_bias = mask_to_bias(batch["input_mask"])[:, None, None, :]
     visn_bias = mask_to_bias(batch["feats_mask"])[:, None, None, :]
 
-    lang = bert_embed(emb, batch["input_ids"], cfg, rng=emb_rng)
+    lang = bert_embed(
+        emb, batch["input_ids"], cfg, rng=emb_rng, out_dtype=prec.compute_dtype
+    )
     # [B,10,8] label ids embedded with the shared BertEmbeddings, pos ids 0..7
-    label_emb = bert_embed(emb, batch["label_ids"], cfg, rng=lab_rng)
+    label_emb = bert_embed(
+        emb, batch["label_ids"], cfg, rng=lab_rng, out_dtype=prec.compute_dtype
+    )
     visn = visual_encoder(enc["visn_fc"], batch, label_emb, cfg, prec, vis_rng)
 
     def _rngs3(r):

@@ -201,6 +201,9 @@ def _attn_block_kernel(
     ).astype(x.dtype)
     qkv = qkv.reshape(block, s, 3 * h)
     bias = bias_ref[:].astype(jnp.float32) if bias_ref is not None else None
+    if bias is not None and bias.ndim == 2:
+        # compact key-mask rows [BLOCK, T]; broadcast over query positions
+        bias = bias[:, None, :]
     head_outs = []
     for n in range(num_heads):
         q = qkv[..., n * dh : (n + 1) * dh]
@@ -286,9 +289,18 @@ def attention_block_pallas(
     ]
     args = [x, wqkv.astype(dtype), bqkv, wo.astype(dtype), bo, gamma, beta]
     if bias is not None:
-        bias_full = jnp.broadcast_to(bias, (b, 1, s, s)).reshape(b, s, s)
-        in_specs.append(pl.BlockSpec((block, s, s), xi, memory_space=pltpu.VMEM))
-        args.append(bias_full)
+        if bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+            # key-mask-only bias (the inference case): ship the compact
+            # [B, S] rows and broadcast in-kernel instead of materialising
+            # a [B, S, S] array in HBM on every layer of the scan
+            args.append(bias.reshape(b, s))
+            in_specs.append(
+                pl.BlockSpec((block, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            )
+        else:
+            bias_full = jnp.broadcast_to(bias, (b, 1, s, s)).reshape(b, s, s)
+            in_specs.append(pl.BlockSpec((block, s, s), xi, memory_space=pltpu.VMEM))
+            args.append(bias_full)
         kernel = functools.partial(
             _attn_block_bias_last, num_heads=num_heads, eps=eps
         )
@@ -341,6 +353,9 @@ def _cross_block_kernel(
     q = q2d.reshape(block, f, h)
     kv = kv2d.reshape(block, t, 2 * h)
     bias = bias_ref[:].astype(jnp.float32) if bias_ref is not None else None
+    if bias is not None and bias.ndim == 2:
+        # compact key-mask rows [BLOCK, T]; broadcast over query positions
+        bias = bias[:, None, :]
     head_outs = []
     for n in range(num_heads):
         qh = q[..., n * dh : (n + 1) * dh]
@@ -434,9 +449,16 @@ def cross_attention_block_pallas(
     args = [x, ctx, wq.astype(dtype), bq, wkv.astype(dtype), bkv,
             wo.astype(dtype), bo, gamma, beta]
     if bias is not None:
-        bias_full = jnp.broadcast_to(bias, (b, 1, f, t)).reshape(b, f, t)
-        in_specs.append(pl.BlockSpec((block, f, t), xi, memory_space=pltpu.VMEM))
-        args.append(bias_full)
+        if bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+            # compact ctx key-mask (see attention_block_pallas)
+            args.append(bias.reshape(b, t))
+            in_specs.append(
+                pl.BlockSpec((block, t), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            )
+        else:
+            bias_full = jnp.broadcast_to(bias, (b, 1, f, t)).reshape(b, f, t)
+            in_specs.append(pl.BlockSpec((block, f, t), xi, memory_space=pltpu.VMEM))
+            args.append(bias_full)
         kernel = functools.partial(_cross_block_kernel, num_heads=num_heads, eps=eps)
     else:
         kernel = functools.partial(_cross_block_no_bias, num_heads=num_heads, eps=eps)

@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Perf lab: targeted on-device measurements for kernel/block tuning.
+
+Subcommands (each prints one JSON line per measurement):
+
+  model  <name> [B]         whole-model scoring throughput (bf16, packed)
+  stages <name> [B]         per-stage split: embed / encoder / head
+  attn   <S> [B]            attention-block kernel block_b sweep at seq S
+  ffn    <S> [B]            FFN-block kernel block_b sweep at seq S
+  cross  <F> <T> [B]        cross-attention-block block_b sweep
+
+Timings force a host fetch (this rig's block_until_ready can return early
+through the axon tunnel -- see ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _time(f, *args, iters=8):
+    out = f(*args)
+    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def _bf16_params(spec):
+    return jax.tree.map(
+        lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x,
+        spec.init_params(jax.random.key(0)),
+    )
+
+
+def cmd_model(name: str, B: int):
+    from scripts.bench_all import make_batch
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops import attention
+
+    spec = get_model(name)
+    params = _bf16_params(spec)
+    batch = jax.device_put(make_batch(name, spec.config, B, np.random.default_rng(0)))
+    with attention.attention_backend("pallas_packed"):
+        f = jax.jit(lambda p, b: spec.apply(p, b, spec.config, Precision.bf16())["score"])
+        dt = _time(f, params, batch)
+    _emit(cmd="model", model=name, B=B, ms=round(dt * 1e3, 2),
+          pairs_per_sec=round(B / dt, 1))
+
+
+def cmd_stages(name: str, B: int):
+    from scripts.bench_all import make_batch
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops import attention
+
+    spec = get_model(name)
+    params = _bf16_params(spec)
+    prec = Precision.bf16()
+    cfg = spec.config
+    batch = jax.device_put(make_batch(name, cfg, B, np.random.default_rng(0)))
+
+    if name in ("imagebert_a", "imagebert_b", "imagebert_c"):
+        mod = __import__(
+            f"kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.{'imagebert_a' if name == 'imagebert_a' else 'imagebert_b'}",
+            fromlist=["embed"],
+        )
+        with attention.attention_backend("pallas_packed"):
+            f_embed = jax.jit(lambda p, b: mod.embed(p, b, cfg, prec))
+            dt_embed = _time(f_embed, params, batch)
+            x = f_embed(params, batch)
+            from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
+                encoder,
+            )
+
+            if name == "imagebert_a":
+                bias = None
+            else:
+                mask = mod.input_mask(batch)
+                bias = ((1.0 - mask.astype(np.float32)) * -10000.0)[:, None, None, :]
+            f_enc = jax.jit(
+                lambda p, x: encoder(p["bert"]["encoder"], x, bias, cfg, prec)
+            )
+            dt_enc = _time(f_enc, params, x)
+            f_all = jax.jit(lambda p, b: spec.apply(p, b, cfg, prec)["score"])
+            dt_all = _time(f_all, params, batch)
+        _emit(cmd="stages", model=name, B=B, embed_ms=round(dt_embed * 1e3, 2),
+              encoder_ms=round(dt_enc * 1e3, 2), total_ms=round(dt_all * 1e3, 2))
+    else:
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import lxmert
+
+        lcfg = cfg
+        with attention.attention_backend("pallas_packed"):
+            f_all = jax.jit(
+                lambda p, b: lxmert.apply(p, b, lcfg, prec)["score"]
+            )
+            dt_all = _time(f_all, params, batch)
+        _emit(cmd="stages", model=name, B=B, total_ms=round(dt_all * 1e3, 2))
+
+
+def _rand(shape, dtype=np.float32, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+    ).astype(dtype)
+
+
+def cmd_attn(S: int, B: int, with_bias: bool = True):
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
+        attention_block_pallas,
+    )
+
+    H, N = 768, 12
+    dt = jnp.bfloat16
+    x = _rand((B, S, H), dt)
+    wqkv, bqkv = _rand((H, 3 * H), dt, 1), _rand((3 * H,), jnp.float32, 2)
+    wo, bo = _rand((H, H), dt, 3), _rand((H,), jnp.float32, 4)
+    g, be = _rand((H,), jnp.float32, 5), _rand((H,), jnp.float32, 6)
+    bias = (
+        jnp.asarray(
+            -10000.0
+            * (np.random.default_rng(7).random((B, 1, 1, S)) < 0.3).astype(np.float32)
+        )
+        if with_bias
+        else None
+    )
+    for block in (8, 16, 24, 32, 48, 64):
+        try:
+            f = jax.jit(
+                lambda x, block=block: attention_block_pallas(
+                    x, wqkv, bqkv, wo, bo, g, be, N, bias, block_b=block
+                )
+            )
+            t = _time(f, x)
+            _emit(cmd="attn", S=S, B=B, block=block, bias=with_bias,
+                  ms=round(t * 1e3, 3))
+        except Exception as e:  # noqa: BLE001
+            _emit(cmd="attn", S=S, B=B, block=block, error=str(e)[:120])
+
+
+def cmd_ffn(S: int, B: int):
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_ffn import (
+        ffn_block_pallas,
+    )
+
+    H, I = 768, 3072
+    dt = jnp.bfloat16
+    x = _rand((B, S, H), dt)
+    w1, b1 = _rand((H, I), dt, 1), _rand((I,), jnp.float32, 2)
+    w2, b2 = _rand((I, H), dt, 3), _rand((H,), jnp.float32, 4)
+    g, be = _rand((H,), jnp.float32, 5), _rand((H,), jnp.float32, 6)
+    for block in (4, 8, 16, 24, 32):
+        try:
+            f = jax.jit(
+                lambda x, block=block: ffn_block_pallas(
+                    x, w1, b1, w2, b2, g, be, block_b=block
+                )
+            )
+            t = _time(f, x)
+            _emit(cmd="ffn", S=S, B=B, block=block, ms=round(t * 1e3, 3))
+        except Exception as e:  # noqa: BLE001
+            _emit(cmd="ffn", S=S, B=B, block=block, error=str(e)[:120])
+
+
+def cmd_cross(F: int, T: int, B: int):
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
+        cross_attention_block_pallas,
+    )
+
+    H, N = 768, 12
+    dt = jnp.bfloat16
+    x = _rand((B, F, H), dt)
+    ctx = _rand((B, T, H), dt, 9)
+    wq, bq = _rand((H, H), dt, 1), _rand((H,), jnp.float32, 2)
+    wkv, bkv = _rand((H, 2 * H), dt, 3), _rand((2 * H,), jnp.float32, 4)
+    wo, bo = _rand((H, H), dt, 5), _rand((H,), jnp.float32, 6)
+    g, be = _rand((H,), jnp.float32, 7), _rand((H,), jnp.float32, 8)
+    bias = jnp.asarray(
+        -10000.0
+        * (np.random.default_rng(7).random((B, 1, 1, T)) < 0.3).astype(np.float32)
+    )
+    for block in (8, 16, 32, 64):
+        try:
+            f = jax.jit(
+                lambda x, ctx, block=block: cross_attention_block_pallas(
+                    x, ctx, wq, bq, wkv, bkv, wo, bo, g, be, N, bias, block_b=block
+                )
+            )
+            t = _time(f, x, ctx)
+            _emit(cmd="cross", F=F, T=T, B=B, block=block, ms=round(t * 1e3, 3))
+        except Exception as e:  # noqa: BLE001
+            _emit(cmd="cross", F=F, T=T, B=B, block=block, error=str(e)[:120])
+
+
+def main():
+    cmd = sys.argv[1]
+    a = sys.argv[2:]
+    if cmd == "model":
+        cmd_model(a[0], int(a[1]) if len(a) > 1 else 8192)
+    elif cmd == "stages":
+        cmd_stages(a[0], int(a[1]) if len(a) > 1 else 8192)
+    elif cmd == "attn":
+        cmd_attn(int(a[0]), int(a[1]) if len(a) > 1 else 8192)
+    elif cmd == "ffn":
+        cmd_ffn(int(a[0]), int(a[1]) if len(a) > 1 else 8192)
+    elif cmd == "cross":
+        cmd_cross(int(a[0]), int(a[1]), int(a[2]) if len(a) > 2 else 8192)
+    else:
+        raise SystemExit(f"unknown cmd {cmd}")
+
+
+if __name__ == "__main__":
+    import jax
+    import jax.numpy as jnp
+
+    globals()["jax"] = jax
+    globals()["jnp"] = jnp
+    main()
