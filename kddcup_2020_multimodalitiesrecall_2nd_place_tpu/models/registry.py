@@ -85,6 +85,20 @@ def get_model(name: str) -> ModelSpec:
             apply=lxmert.apply,
             featurizer_layout="lxmert",
         )
+    if name == "two_tower":
+        # the retrieval stage the reference lacks (stretch capability):
+        # dual encoder trained with in-batch InfoNCE, feeding the
+        # recall -> cross-encoder cascade (scripts/cascade.py)
+        from . import two_tower
+
+        tcfg = two_tower.two_tower_config()
+        return ModelSpec(
+            name,
+            tcfg,
+            init=lambda rng: two_tower.init_params(rng, tcfg),
+            apply=two_tower.apply,
+            featurizer_layout="imagebert_b",
+        )
     raise ValueError(f"unknown model {name!r}")
 
 

@@ -46,6 +46,21 @@ class TwoTowerConfig:
     temperature: float = 0.05
 
 
+def two_tower_config() -> TwoTowerConfig:
+    """Default config, shrinkable via KMR_TOWER_CONFIG_OVERRIDES (JSON with
+    optional "bert" sub-dict), mirroring the registry's KMR_CONFIG_OVERRIDES
+    hook so CLI tests can run tiny towers."""
+    import json
+    import os
+
+    overrides = os.environ.get("KMR_TOWER_CONFIG_OVERRIDES")
+    if not overrides:
+        return TwoTowerConfig()
+    raw = dict(json.loads(overrides))
+    bert = BertConfig(num_hidden_layers=4).replace(**raw.pop("bert", {}))
+    return TwoTowerConfig(bert=bert, **raw)
+
+
 def init_params(rng: jax.Array, tcfg: TwoTowerConfig) -> Params:
     cfg = tcfg.bert
     ks = jax.random.split(rng, 8)
@@ -97,6 +112,28 @@ def embed_product(
     m = mask.astype(jnp.float32)[..., None]
     pooled = jnp.sum(seq * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
     return _l2(dense(p["product_proj"], pooled, prec))
+
+
+def apply(
+    p: Params,
+    batch: dict,
+    tcfg: TwoTowerConfig,
+    prec: Precision = Precision.f32(),
+    rng: jax.Array | None = None,  # towers are dropout-free; kept for the
+    # Trainer's uniform ModelSpec.apply signature
+) -> dict:
+    """Both towers over aligned (query, product) rows.
+
+    ``score`` is the cosine of each aligned pair; the in-batch contrastive
+    loss consumes ``q_emb``/``p_emb`` directly.
+    """
+    del rng
+    q = embed_query(p, batch, tcfg, prec)
+    pe = embed_product(p, batch, tcfg, prec)
+    score = jnp.sum(q * pe, axis=-1)
+    # 2-col probs so the generic accuracy metric in the Trainer works
+    probs = jnp.stack([1.0 - score, score], axis=-1)
+    return {"q_emb": q, "p_emb": pe, "score": score, "probs": probs}
 
 
 def contrastive_loss(

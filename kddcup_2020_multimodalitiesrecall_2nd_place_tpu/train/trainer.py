@@ -81,6 +81,15 @@ def recipe_for(model_name: str) -> TrainConfig:
         )
     if model_name == "lxmert":
         return TrainConfig(learning_rate=1e-4, optimizer="bert_adamw", clip="global_norm")
+    if model_name == "two_tower":
+        # retrieval stage (no reference counterpart): InfoNCE over aligned
+        # positive rows, so no warmup-heavy BERT schedule needed
+        return TrainConfig(
+            learning_rate=1e-4,
+            optimizer="bert_adamw",
+            num_warmup_steps=1000,
+            clip="global_norm",
+        )
     raise ValueError(model_name)
 
 
@@ -150,6 +159,17 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
                 )
                 metrics["word_match_loss"] = wm
                 loss = loss + tc.word_match_loss_weight * wm
+        elif name == "two_tower":
+            from ..models.two_tower import contrastive_loss
+
+            loss, tower_metrics = contrastive_loss(
+                out["q_emb"], out["p_emb"], model.config.temperature
+            )
+            metrics.update(tower_metrics)
+            metrics["loss"] = loss
+            # in-batch positives carry no 0/1 labels; report retrieval
+            # accuracy instead of the pairwise-classifier accuracy below
+            return loss, metrics
         elif name == "lxmert":
             if tc.am_loss:
                 # out["logit"] are cosines from the logit_W head

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Recall -> cross-encoder cascade: the two-stage retrieval pipeline.
+
+The reference scores every (query, product) pair with a full cross-encoder
+(it was handed a candidate file); this adds the retrieval stage in front:
+
+  1. embed every catalog product with the two-tower product tower,
+  2. embed each distinct query with the query tower,
+  3. exact top-K MIPS recall on-device (models/two_tower.py),
+  4. re-score the K candidates per query with one of the ensemble
+     cross-encoders (ScoringEngine), emit top-5 per query.
+
+With --answers it also reports recall@K of stage 1 and nDCG@5 of the
+cascade output, so the K/quality trade-off is measurable.
+
+  python scripts/cascade.py --queries valid.tsv --catalog catalog.tsv \
+      --labels multimodal_labels.txt --tower-checkpoint tower/best \
+      --cross-model imagebert_b --cross-checkpoint b.npz \
+      --k-recall 50 --out cascade.csv --answers valid_answer.json
+
+Catalog product features are held in RAM for the rerank stage (~85 KB/row);
+at the full 3M-product scale shard the catalog TSV and run one cascade per
+shard, or memmap (data/fast_pipeline.py's native parser emits contiguous
+arrays suitable for that).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", required=True, nargs="+",
+                    help="TSV(s) whose rows provide the query set (deduped "
+                         "by query_id) and, with --answers, the eval pairs")
+    ap.add_argument("--catalog", required=True, nargs="+",
+                    help="TSV(s) whose rows provide the product catalog "
+                         "(deduped by product_id)")
+    ap.add_argument("--labels", required=True)
+    ap.add_argument("--tower-checkpoint", default=None)
+    ap.add_argument("--cross-model", default="imagebert_b",
+                    choices=["imagebert_a", "imagebert_b", "imagebert_c", "lxmert"])
+    ap.add_argument("--cross-checkpoint", default=None,
+                    help="npz pytree for the cross-encoder (random init if "
+                         "omitted -- useful only for smoke tests)")
+    ap.add_argument("--k-recall", type=int, default=50)
+    ap.add_argument("--k-out", type=int, default=5)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--answers", default=None,
+                    help="valid_answer.json: report recall@K and cascade nDCG@5")
+    ap.add_argument("--batch-size", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
+        load_npz,
+        restore_pytree,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
+        Featurizer,
+        load_multimodal_labels,
+        pad_batch,
+        stack_examples,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.pipeline import (
+        iter_examples,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import get_model
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.two_tower import (
+        embed_product,
+        embed_query,
+        top_k_products,
+        two_tower_config,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import ScoringEngine
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.tokenization import (
+        FullTokenizer,
+    )
+
+    def _load_params(path):
+        """npz file or orbax directory (scripts/train.py writes the latter)."""
+        p = Path(path)
+        return restore_pytree(p) if p.is_dir() else load_npz(p)
+
+    def _examples(paths):
+        for path in paths:
+            with open(path, "r", encoding="utf-8") as f:
+                yield from iter_examples(f)
+
+    tcfg = two_tower_config()
+    if args.tower_checkpoint:
+        tower_params = _load_params(args.tower_checkpoint)
+    else:
+        print("WARNING: random tower init (smoke-test mode)", file=sys.stderr)
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.two_tower import (
+            init_params,
+        )
+
+        tower_params = init_params(jax.random.key(0), tcfg)
+
+    cross_spec = get_model(args.cross_model)
+    tok = (
+        FullTokenizer.hf_style(VOCAB_PATH)
+        if args.cross_model == "lxmert"
+        else FullTokenizer.google_style(VOCAB_PATH)
+    )
+    labels = load_multimodal_labels(args.labels)
+    fz = Featurizer(tok, labels, sen2forest=cross_spec.sen2forest)
+    tower_fz = Featurizer(FullTokenizer.google_style(VOCAB_PATH), labels)
+
+    # ---- stage 1a: catalog embeddings (product tower) ----------------------
+    products: dict[int, object] = {}
+    for ex in _examples(args.catalog):
+        products.setdefault(ex.product_id, ex)
+    product_exs = list(products.values())
+    product_ids = np.array([ex.product_id for ex in product_exs])
+    embed_p = jax.jit(lambda p, b: embed_product(p, b, tcfg))
+    cat_chunks = []
+    for i in range(0, len(product_exs), args.batch_size):
+        chunk = [tower_fz.imagebert_b(ex) for ex in product_exs[i : i + args.batch_size]]
+        b = stack_examples(chunk)
+        cat_chunks.append(np.asarray(embed_p(tower_params, b)))
+    catalog = jnp.asarray(np.concatenate(cat_chunks, axis=0), jnp.bfloat16)
+    print(f"catalog: {catalog.shape[0]} products", file=sys.stderr)
+
+    # ---- stage 1b: query embeddings + recall --------------------------------
+    queries: dict[int, object] = {}
+    for ex in _examples(args.queries):
+        queries.setdefault(ex.query_id, ex)
+    query_exs = list(queries.values())
+    query_ids = np.array([ex.query_id for ex in query_exs])
+    embed_q = jax.jit(lambda p, b: embed_query(p, b, tcfg))
+    q_chunks = []
+    for i in range(0, len(query_exs), args.batch_size):
+        chunk = [tower_fz.imagebert_b(ex) for ex in query_exs[i : i + args.batch_size]]
+        q_chunks.append(np.asarray(embed_q(tower_params, stack_examples(chunk))))
+    q_emb = jnp.asarray(np.concatenate(q_chunks, axis=0))
+    k = min(args.k_recall, catalog.shape[0])
+    _, top_idx = top_k_products(q_emb, catalog, k=k)
+    top_idx = np.asarray(top_idx)
+    print(f"recalled top-{k} for {len(query_exs)} queries", file=sys.stderr)
+
+    # ---- stage 2: cross-encoder rerank --------------------------------------
+    if args.cross_checkpoint:
+        cross_params = _load_params(args.cross_checkpoint)
+    else:
+        print("WARNING: random cross-encoder init (smoke-test mode)", file=sys.stderr)
+        cross_params = cross_spec.init_params(jax.random.key(1))
+    engine = ScoringEngine(cross_spec, cross_params, donate_batch=False)
+    featurize = fz.for_model(args.cross_model)
+
+    pair_exs, pair_qids, pair_pids = [], [], []
+    for row, qex in enumerate(query_exs):
+        for idx in top_idx[row]:
+            if idx < 0:
+                continue
+            pex = product_exs[int(idx)]
+            pair_exs.append(
+                dataclasses.replace(pex, query=qex.query, query_id=qex.query_id)
+            )
+            pair_qids.append(qex.query_id)
+            pair_pids.append(pex.product_id)
+
+    scores: dict[str, dict[str, float]] = {}
+    for i in range(0, len(pair_exs), args.batch_size):
+        chunk = pair_exs[i : i + args.batch_size]
+        batch = pad_batch(
+            stack_examples([featurize(ex) for ex in chunk]), args.batch_size
+        )
+        s = np.asarray(engine.score_batch(batch))[: len(chunk)]
+        for j, sc in enumerate(s):
+            qid, pid = pair_qids[i + j], pair_pids[i + j]
+            scores.setdefault(str(qid), {})[str(pid)] = float(sc)
+
+    # ---- emit top-k-out + metrics -------------------------------------------
+    with open(args.out, "w", encoding="utf-8") as f:
+        f.write("query-id,product1,product2,product3,product4,product5\n")
+        for qid in map(str, query_ids):
+            row = sorted(scores.get(qid, {}).items(), key=lambda kv: -kv[1])
+            tops = [pid for pid, _ in row[: args.k_out]]
+            f.write(f"{qid},{','.join(tops)}\n")
+    print(f"wrote {args.out}", file=sys.stderr)
+
+    if args.answers:
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.eval.ndcg import (
+            evaluate_scores,
+            load_answers,
+        )
+
+        answers = load_answers(args.answers)
+        hits = total = 0
+        for row, qid in enumerate(query_ids):
+            truth = {str(p) for p in answers.get(str(qid), [])}
+            if not truth:
+                continue
+            got = {str(product_ids[i]) for i in top_idx[row] if i >= 0}
+            hits += len(truth & got)
+            total += len(truth)
+        recall_at_k = hits / max(total, 1)
+        ndcg = evaluate_scores(scores, answers)
+        print(json.dumps(
+            {"recall_at_k": round(recall_at_k, 4), "k": k,
+             "cascade_ndcg5": round(ndcg, 4)}
+        ))
+
+
+if __name__ == "__main__":
+    main()

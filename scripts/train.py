@@ -24,11 +24,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
-                    choices=["imagebert_a", "imagebert_b", "imagebert_c", "lxmert"])
-    ap.add_argument("--train-tsv", required=True, nargs="+")
+                    choices=["imagebert_a", "imagebert_b", "imagebert_c", "lxmert",
+                             "two_tower"])
+    ap.add_argument("--train-tsv", nargs="+", default=None)
+    ap.add_argument("--packed-dir", default=None,
+                    help="packed-shard directory from scripts/build_packed.py "
+                         "(memmapped multi-epoch passes; alternative to the "
+                         "online --train-tsv sampler)")
     ap.add_argument("--labels", required=True)
-    ap.add_argument("--query-labels", required=True)
+    ap.add_argument("--query-labels", default=None,
+                    help="query_labels.txt for hard-negative mining (required "
+                         "for the cross-encoders; unused by two_tower, which "
+                         "trains on in-batch negatives)")
     ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the recipe learning rate")
+    ap.add_argument("--warmup-steps", type=int, default=None,
+                    help="override the recipe warmup length")
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint-every", type=int, default=500)
@@ -55,6 +67,8 @@ def main() -> None:
     args = ap.parse_args()
     if bool(args.valid_tsv) != bool(args.answers):
         ap.error("--valid-tsv and --answers must be given together")
+    if bool(args.train_tsv) == bool(args.packed_dir):
+        ap.error("exactly one of --train-tsv / --packed-dir is required")
 
     import jax
     import numpy as np
@@ -86,24 +100,35 @@ def main() -> None:
     featurizer = Featurizer(
         tok, load_multimodal_labels(args.labels), sen2forest=spec.sen2forest
     )
-    qindex = QueryLabelIndex.load(args.query_labels)
-    sampler_cfg = (
-        SamplerConfig.imagebert_b(args.seed)
-        if args.model in ("imagebert_b", "imagebert_c")
-        else SamplerConfig.imagebert_a(args.seed)
-    )
-    sampler = HardNegativeSampler(featurizer, qindex, sampler_cfg)
+    if args.model == "two_tower" or args.packed_dir:
+        # two_tower trains on aligned positive rows with in-batch negatives;
+        # packed shards were mined/masked at build_packed time
+        sampler = None
+    else:
+        if not args.query_labels:
+            ap.error("--query-labels is required for cross-encoder training")
+        qindex = QueryLabelIndex.load(args.query_labels)
+        sampler_cfg = (
+            SamplerConfig.imagebert_b(args.seed)
+            if args.model in ("imagebert_b", "imagebert_c")
+            else SamplerConfig.imagebert_a(args.seed)
+        )
+        sampler = HardNegativeSampler(featurizer, qindex, sampler_cfg)
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import recipe_for
     import dataclasses
 
-    tc = dataclasses.replace(
-        recipe_for(spec.name),
+    overrides = dict(
         mlm_loss_weight=args.mlm_weight,
         ms_loss_weight=args.ms_weight,
         am_loss=args.am_loss,
         word_match_loss_weight=args.word_match_weight,
     )
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if args.warmup_steps is not None:
+        overrides["num_warmup_steps"] = args.warmup_steps
+    tc = dataclasses.replace(recipe_for(spec.name), **overrides)
     trainer = Trainer(spec, tc)
     state = trainer.init_state(jax.random.key(args.seed))
     if args.resume:
@@ -116,7 +141,28 @@ def main() -> None:
         print(f"resumed from {args.resume} at step {int(jax.device_get(state.step))}")
 
     def batches():
+        if args.packed_dir:
+            from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
+                PackedDataset,
+            )
+
+            ds = PackedDataset(args.packed_dir)
+            print(f"packed dataset: {len(ds)} instances")
+            yield from ds.batches(args.batch_size, epochs=None, seed=args.seed)
+            return
         while True:  # epochs
+            if sampler is None:
+                from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
+                    batches_from_files,
+                )
+
+                for b in batches_from_files(
+                    args.train_tsv, featurizer.imagebert_b, args.batch_size
+                ):
+                    if b["valid"].all():  # drop the ragged tail: in-batch
+                        yield b  # negatives need full batches
+                continue
+
             def lines():
                 for path in args.train_tsv:
                     with open(path, "r", encoding="utf-8") as f:
@@ -193,7 +239,8 @@ def main() -> None:
             run_valid(step + 1)
     if args.valid_tsv:
         print(f"best valid nDCG@5 {best_ndcg:.4f} (checkpoint in {out_dir / 'best'})")
-    print(f"trained {args.steps} steps; sampler stats: {sampler.stats}")
+    stats = sampler.stats if sampler is not None else "in-batch negatives"
+    print(f"trained {args.steps} steps; sampler stats: {stats}")
 
 
 if __name__ == "__main__":
