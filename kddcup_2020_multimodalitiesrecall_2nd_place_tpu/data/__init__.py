@@ -1,5 +1,6 @@
 from .featurize import Featurizer, pad_batch, stack_examples
 from .labels import QueryLabelIndex, load_multimodal_labels
+from .packed import PackedDataset, write_packed_shards
 from .sampling import HardNegativeSampler, SamplerConfig
 from .pipeline import (
     PipelineStats,
@@ -27,6 +28,7 @@ __all__ = [
     "MAX_LABEL_TOKENS",
     "MAX_QUERY_LEN_AB",
     "MAX_QUERY_LEN_L",
+    "PackedDataset",
     "PipelineStats",
     "PrefetchIterator",
     "QueryLabelIndex",
@@ -40,4 +42,5 @@ __all__ = [
     "parse_line",
     "rewrite_sen2forest",
     "stack_examples",
+    "write_packed_shards",
 ]
