@@ -114,9 +114,15 @@ class PackedDataset:
         epochs: int | None = 1,
         seed: int = 0,
         drop_remainder: bool = True,
+        process_id: int = 0,
+        process_count: int = 1,
     ) -> Iterator[dict]:
         """Shuffled batches: per epoch, shard order and the order within each
-        shard are re-permuted from (seed, epoch). ``epochs=None`` = forever."""
+        shard are re-permuted from (seed, epoch). ``epochs=None`` = forever.
+
+        Multi-host: every process derives the SAME permutation and takes a
+        disjoint ``process_id::process_count`` stride of each shard, so a pod
+        covers each instance exactly once per epoch with no coordination."""
         epoch = 0
         while epochs is None or epoch < epochs:
             rng = np.random.default_rng((seed, epoch))
@@ -125,6 +131,8 @@ class PackedDataset:
             for si in rng.permutation(len(self._maps)):
                 shard = self._maps[si]
                 order = rng.permutation(self.shard_sizes[si])
+                if process_count > 1:
+                    order = order[process_id::process_count]
                 pos = 0
                 while pos < len(order):
                     take = min(batch_size - carry_n, len(order) - pos)

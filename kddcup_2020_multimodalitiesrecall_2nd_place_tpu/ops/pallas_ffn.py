@@ -75,6 +75,20 @@ def ffn_block_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     b, s, h = x.shape
+    # The whole block is position-independent (two matmuls + row-wise LN),
+    # so token rows can be re-bucketed freely. Fold (B, S) into lane-tile-
+    # aligned [*, 128, H] slabs when divisible: S = 10/23/30/40 would pad
+    # the sublane dim to 16/32/32/48 inside every VMEM tile (up to 60%
+    # wasted VPU lanes + an in-kernel relayout for the matmul reshape);
+    # S = 128 tiles are dense and the kernel reshape is a no-op.
+    if (b * s) % 128 == 0 and s != 128:
+        rows_per_block = max(1, (block_b * s + 64) // 128)
+        y = ffn_block_pallas(
+            x.reshape(-1, 128, h), w1, b1, w2, b2, gamma, beta,
+            approximate_gelu=approximate_gelu, eps=eps,
+            block_b=rows_per_block, interpret=interpret,
+        )
+        return y.reshape(b, s, h)
     block = min(block_b, b)
     grid = (pl.cdiv(b, block),)
     dtype = x.dtype

@@ -1,3 +1,9 @@
+from .distributed import (
+    global_batch_from_local,
+    local_rows,
+    maybe_initialize,
+    process_shard,
+)
 from .engine import ScoringEngine, ScoringStats, write_scores_csv, write_scores_tsv
 from .mesh import (
     DATA_AXIS,
@@ -16,7 +22,11 @@ __all__ = [
     "ScoringStats",
     "batch_sharding",
     "data_parallel_batch_size",
+    "global_batch_from_local",
+    "local_rows",
     "make_mesh",
+    "maybe_initialize",
+    "process_shard",
     "replicated",
     "shard_batch",
     "write_scores_csv",

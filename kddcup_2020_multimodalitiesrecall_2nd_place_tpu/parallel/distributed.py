@@ -1,0 +1,105 @@
+"""Multi-host (pod) support: jax.distributed init + per-host input sharding.
+
+The reference's distributed story stops at single-host multi-GPU towers plus
+vestigial never-used PS/TPU flags (``evaluate_normal.py:26-40``,
+``optimization.py:111-112``). The TPU-native path is single-controller JAX:
+
+* every host runs the same program; ``jax.distributed.initialize`` wires the
+  coordinator (on Cloud TPU pods all arguments are auto-detected from the
+  TPU metadata, so ``maybe_initialize()`` is a no-op-or-init);
+* the mesh is built over ``jax.devices()`` (global), compute is sharded over
+  ICI within a slice / DCN across slices by XLA;
+* input is sharded host-side: each process reads only its slice of the
+  shard list (``process_shard``) and contributes its local rows to the
+  global batch (``global_batch_from_local``).
+
+Single-process runs (tests, the 1-chip bench rig) pass through unchanged:
+``maybe_initialize`` does nothing when no coordinator is configured and
+``jax.process_count() == 1`` keeps every helper an identity.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from .mesh import DATA_AXIS, batch_sharding
+
+
+def maybe_initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize jax.distributed when configured; returns True if it ran.
+
+    Explicit args win; otherwise JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars; otherwise, on Cloud TPU,
+    ``jax.distributed.initialize()`` auto-detects -- requested with
+    KMR_DISTRIBUTED=1 so single-host rigs never pay the probe.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    if coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=(
+                num_processes if num_processes is not None
+                else int(env_np) if env_np else None
+            ),
+            process_id=(
+                process_id if process_id is not None
+                else int(env_pid) if env_pid else None
+            ),
+        )
+        return True
+    if os.environ.get("KMR_DISTRIBUTED") == "1":
+        jax.distributed.initialize()  # TPU-pod auto-detection
+        return True
+    return False
+
+
+def process_shard(paths: Sequence, process_id: int | None = None,
+                  process_count: int | None = None) -> list:
+    """The round-robin slice of an input shard list owned by this process
+    (multi-host replacement for the reference's train_split.py round-robin:
+    one split across hosts instead of 5 files on one box)."""
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if process_count is None else process_count
+    owned = [p for i, p in enumerate(paths) if i % n == pid]
+    if not owned and paths:
+        # more hosts than files: everyone reads everything and relies on
+        # global_batch_from_local row slicing for disjointness
+        return list(paths)
+    return owned
+
+
+def local_rows(global_batch_size: int, process_id: int | None = None,
+               process_count: int | None = None) -> int:
+    """Rows this process must contribute to one global batch."""
+    n = jax.process_count() if process_count is None else process_count
+    assert global_batch_size % n == 0, (global_batch_size, n)
+    return global_batch_size // n
+
+
+def global_batch_from_local(mesh, local_batch: dict) -> dict:
+    """Assemble a globally-sharded device batch from per-process host rows.
+
+    Each process supplies its local rows; the result is one logical array of
+    shape [global_batch, ...] sharded over the mesh ``data`` axis with no
+    cross-host data movement (rows stay on the host that read them).
+    Single-process: equivalent to ``jax.device_put(batch, batch_sharding)``.
+    """
+    sh = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in local_batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in local_batch.items()
+    }

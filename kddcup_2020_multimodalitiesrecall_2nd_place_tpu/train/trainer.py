@@ -251,12 +251,17 @@ class Trainer:
         return TrainState(params, opt_state, ema, jnp.zeros((), jnp.int32))
 
     def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
-        device_batch = {
-            k: jax.device_put(v, self._batch_sharding)
+        """``batch`` holds this process's local rows; multi-host runs
+        assemble the global data-sharded batch without cross-host copies
+        (parallel/distributed.py), single-host is a plain device_put."""
+        from ..parallel.distributed import global_batch_from_local
+
+        host_batch = {
+            k: v
             for k, v in batch.items()
             if k not in ("product_id", "query_id", "valid")
         }
-        return self._step(state, device_batch, rng)
+        return self._step(state, global_batch_from_local(self.mesh, host_batch), rng)
 
     def eval_params(self, state: TrainState):
         return state.ema.shadow if state.ema is not None else state.params

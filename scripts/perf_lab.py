@@ -25,13 +25,26 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+_REDUCERS: dict = {}
+
+
+def _force(out):
+    """Force execution with a SCALAR host fetch: block_until_ready can
+    return early through the tunnel, and fetching a whole [B,S,H] output
+    would cost seconds at ~30 MB/s, swamping the kernel time."""
+    leaf = jax.tree.leaves(out)[0]
+    key = (leaf.shape, str(leaf.dtype))
+    if key not in _REDUCERS:
+        _REDUCERS[key] = jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))
+    return float(jax.device_get(_REDUCERS[key](leaf)))
+
+
 def _time(f, *args, iters=8):
-    out = f(*args)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    _force(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    _force(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -118,10 +131,25 @@ def cmd_stages(name: str, B: int):
         _emit(cmd="stages", model=name, B=B, total_ms=round(dt_all * 1e3, 2))
 
 
+LOOP_N = 16
+
+
+def _looped(fn):
+    """Apply a shape-preserving kernel LOOP_N times inside one jit: the
+    ~29 ms/dispatch tunnel overhead would otherwise swamp 1-10 ms kernels."""
+
+    def g(x, *rest):
+        return jax.lax.fori_loop(0, LOOP_N, lambda i, a: fn(a, *rest), x)
+
+    return jax.jit(g)
+
+
 def _rand(shape, dtype=np.float32, seed=0):
-    return jnp.asarray(
-        np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
-    ).astype(dtype)
+    # build (and bf16-cast) host-side: every eager device op on this rig is
+    # a fresh remote XLA compile, and f32 ships 2x the bytes through the
+    # ~30 MB/s tunnel (ROADMAP.md)
+    x = np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+    return jax.device_put(x.astype(jnp.dtype(dtype).name))
 
 
 def cmd_attn(S: int, B: int, with_bias: bool = True):
@@ -136,7 +164,7 @@ def cmd_attn(S: int, B: int, with_bias: bool = True):
     wo, bo = _rand((H, H), dt, 3), _rand((H,), jnp.float32, 4)
     g, be = _rand((H,), jnp.float32, 5), _rand((H,), jnp.float32, 6)
     bias = (
-        jnp.asarray(
+        jax.device_put(
             -10000.0
             * (np.random.default_rng(7).random((B, 1, 1, S)) < 0.3).astype(np.float32)
         )
@@ -145,12 +173,12 @@ def cmd_attn(S: int, B: int, with_bias: bool = True):
     )
     for block in (8, 16, 24, 32, 48, 64):
         try:
-            f = jax.jit(
+            f = _looped(
                 lambda x, block=block: attention_block_pallas(
                     x, wqkv, bqkv, wo, bo, g, be, N, bias, block_b=block
                 )
             )
-            t = _time(f, x)
+            t = _time(f, x) / LOOP_N
             _emit(cmd="attn", S=S, B=B, block=block, bias=with_bias,
                   ms=round(t * 1e3, 3))
         except Exception as e:  # noqa: BLE001
@@ -170,12 +198,12 @@ def cmd_ffn(S: int, B: int):
     g, be = _rand((H,), jnp.float32, 5), _rand((H,), jnp.float32, 6)
     for block in (4, 8, 16, 24, 32):
         try:
-            f = jax.jit(
+            f = _looped(
                 lambda x, block=block: ffn_block_pallas(
                     x, w1, b1, w2, b2, g, be, block_b=block
                 )
             )
-            t = _time(f, x)
+            t = _time(f, x) / LOOP_N
             _emit(cmd="ffn", S=S, B=B, block=block, ms=round(t * 1e3, 3))
         except Exception as e:  # noqa: BLE001
             _emit(cmd="ffn", S=S, B=B, block=block, error=str(e)[:120])
@@ -194,18 +222,18 @@ def cmd_cross(F: int, T: int, B: int):
     wkv, bkv = _rand((H, 2 * H), dt, 3), _rand((2 * H,), jnp.float32, 4)
     wo, bo = _rand((H, H), dt, 5), _rand((H,), jnp.float32, 6)
     g, be = _rand((H,), jnp.float32, 7), _rand((H,), jnp.float32, 8)
-    bias = jnp.asarray(
+    bias = jax.device_put(
         -10000.0
         * (np.random.default_rng(7).random((B, 1, 1, T)) < 0.3).astype(np.float32)
     )
     for block in (8, 16, 32, 64):
         try:
-            f = jax.jit(
+            f = _looped(
                 lambda x, ctx, block=block: cross_attention_block_pallas(
                     x, ctx, wq, bq, wkv, bkv, wo, bo, g, be, N, bias, block_b=block
                 )
             )
-            t = _time(f, x, ctx)
+            t = _time(f, x, ctx) / LOOP_N
             _emit(cmd="cross", F=F, T=T, B=B, block=block, ms=round(t * 1e3, 3))
         except Exception as e:  # noqa: BLE001
             _emit(cmd="cross", F=F, T=T, B=B, block=block, error=str(e)[:120])
@@ -232,6 +260,13 @@ if __name__ == "__main__":
     import jax
     import jax.numpy as jnp
 
+    # remote XLA compiles on this rig run 1-3 min each; persist them so a
+    # sweep re-run (or a block re-pick after an edit) is cheap
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parents[1] / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     globals()["jax"] = jax
     globals()["jnp"] = jnp
     main()

@@ -45,6 +45,11 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host pod run: jax.distributed.initialize "
+                         "(auto-detected on Cloud TPU or via JAX_COORDINATOR_"
+                         "ADDRESS), per-host input shards, --batch-size is "
+                         "the GLOBAL batch")
     ap.add_argument("--mlm-weight", type=float, default=0.0,
                     help="auxiliary MLM loss weight (ImageBERT-A pretraining)")
     ap.add_argument("--ms-weight", type=float, default=0.0,
@@ -69,6 +74,14 @@ def main() -> None:
         ap.error("--valid-tsv and --answers must be given together")
     if bool(args.train_tsv) == bool(args.packed_dir):
         ap.error("exactly one of --train-tsv / --packed-dir is required")
+
+    if args.distributed:
+        # must run before any other jax use so the backend sees the pod
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import (
+            maybe_initialize,
+        )
+
+        maybe_initialize()
 
     import jax
     import numpy as np
@@ -140,6 +153,20 @@ def main() -> None:
         state = jax.device_put(state, trainer._replicated)  # re-shard onto the mesh
         print(f"resumed from {args.resume} at step {int(jax.device_get(state.step))}")
 
+    # multi-host: --batch-size is global; this process reads its slice of
+    # the shard list and contributes batch/process_count rows per step
+    local_bs = args.batch_size
+    train_files = args.train_tsv
+    if jax.process_count() > 1:
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import (
+            local_rows,
+            process_shard,
+        )
+
+        local_bs = local_rows(args.batch_size)
+        if train_files:
+            train_files = process_shard(train_files)
+
     def batches():
         if args.packed_dir:
             from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
@@ -148,7 +175,11 @@ def main() -> None:
 
             ds = PackedDataset(args.packed_dir)
             print(f"packed dataset: {len(ds)} instances")
-            yield from ds.batches(args.batch_size, epochs=None, seed=args.seed)
+            yield from ds.batches(
+                local_bs, epochs=None, seed=args.seed,
+                process_id=jax.process_index(),
+                process_count=jax.process_count(),
+            )
             return
         while True:  # epochs
             if sampler is None:
@@ -157,22 +188,22 @@ def main() -> None:
                 )
 
                 for b in batches_from_files(
-                    args.train_tsv, featurizer.imagebert_b, args.batch_size
+                    train_files, featurizer.imagebert_b, local_bs
                 ):
                     if b["valid"].all():  # drop the ragged tail: in-batch
                         yield b  # negatives need full batches
                 continue
 
             def lines():
-                for path in args.train_tsv:
+                for path in train_files:
                     with open(path, "r", encoding="utf-8") as f:
                         yield from f
 
             buf = []
             for example in sampler.examples(lines()):
                 buf.append(example)
-                if len(buf) == args.batch_size:
-                    yield pad_batch(stack_examples(buf), args.batch_size)
+                if len(buf) == local_bs:
+                    yield pad_batch(stack_examples(buf), local_bs)
                     buf = []
 
     out_dir = Path(args.out)

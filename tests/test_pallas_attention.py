@@ -65,12 +65,15 @@ def test_packed_matches_xla(with_bias):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
-def test_ffn_pallas_matches_reference():
+@pytest.mark.parametrize("b,s", [(5, 40), (16, 8), (32, 12)])
+def test_ffn_pallas_matches_reference(b, s):
+    # (16, 8) and (32, 12) hit the lane-tile flat layout ((b*s) % 128 == 0);
+    # (5, 40) keeps the original [B, S, H] blocking
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_ffn import (
         ffn_block_pallas,
     )
 
-    b, s, h, inter = 5, 40, 64, 96
+    h, inter = 64, 96
     ks = jax.random.split(jax.random.key(3), 6)
     x = jax.random.normal(ks[0], (b, s, h), jnp.float32)
     w1 = 0.1 * jax.random.normal(ks[1], (h, inter), jnp.float32)
