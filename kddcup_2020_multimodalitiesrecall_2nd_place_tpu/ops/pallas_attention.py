@@ -88,6 +88,7 @@ def mha_pallas(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block, s, dh), idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bn, s, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*args)
     return out.reshape(b, n, s, dh)
@@ -173,6 +174,7 @@ def mha_pallas_packed(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block, s, h), idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, h), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*args)
 
@@ -313,6 +315,7 @@ def attention_block_pallas(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block, s, h), xi, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, h), dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*args)
 
@@ -469,6 +472,7 @@ def cross_attention_block_pallas(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block, f, h), xi, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, f, h), dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*args)
 

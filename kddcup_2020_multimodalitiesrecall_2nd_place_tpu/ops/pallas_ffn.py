@@ -61,6 +61,21 @@ def _ffn_kernel(
     o_ref[:] = y.reshape(block, s, h).astype(o_ref.dtype)
 
 
+@functools.lru_cache(maxsize=1)
+def _fold_min_waste() -> float:
+    """Sublane-pad waste threshold above which (B,S) is folded to 128-row
+    slabs; KMR_FFN_FOLD_MIN_WASTE overrides (set e.g. 0.1 to enable).
+
+    Default OFF: measured on v5e (B=8192), folding was -5% whole-model at
+    S=30, -6% on LXMERT's S=23/10 streams and neutral at S=40 -- the
+    [B,S,H]<->[*,128,H] reshape at the kernel boundary is a real tiled-
+    layout copy on TPU, which eats the pad savings. Kept because the
+    trade-off is layout/hardware-dependent and trivially re-enableable."""
+    import os
+
+    return float(os.environ.get("KMR_FFN_FOLD_MIN_WASTE", "1.01"))
+
+
 def ffn_block_pallas(
     x: jax.Array,  # [B, S, H]
     w1: jax.Array,  # [H, I]
@@ -77,11 +92,14 @@ def ffn_block_pallas(
     b, s, h = x.shape
     # The whole block is position-independent (two matmuls + row-wise LN),
     # so token rows can be re-bucketed freely. Fold (B, S) into lane-tile-
-    # aligned [*, 128, H] slabs when divisible: S = 10/23/30/40 would pad
-    # the sublane dim to 16/32/32/48 inside every VMEM tile (up to 60%
-    # wasted VPU lanes + an in-kernel relayout for the matmul reshape);
-    # S = 128 tiles are dense and the kernel reshape is a no-op.
-    if (b * s) % 128 == 0 and s != 128:
+    # aligned [*, 128, H] slabs when divisible: S = 10/23/40 pad the sublane
+    # dim to 16/32/48 inside every VMEM tile (20-60% wasted rows + an
+    # in-kernel relayout for the matmul reshape); S = 128 tiles are dense
+    # and the kernel reshape is a no-op. Measured on v5e: +10% whole-model
+    # at S=40, but a slight LOSS at S=30 (6.7% pad < the fold's reshape
+    # boundary cost), hence the >=12% waste threshold.
+    pad_waste = (-s % 16) / s
+    if (b * s) % 128 == 0 and s != 128 and pad_waste >= _fold_min_waste():
         rows_per_block = max(1, (block_b * s + 64) // 128)
         y = ffn_block_pallas(
             x.reshape(-1, 128, h), w1, b1, w2, b2, gamma, beta,
@@ -119,5 +137,6 @@ def ffn_block_pallas(
         ],
         out_specs=pl.BlockSpec((block, s, h), xi, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, h), dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(x, w1.astype(dtype), b1, w2.astype(dtype), b2, gamma, beta)

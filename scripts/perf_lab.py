@@ -171,7 +171,8 @@ def cmd_attn(S: int, B: int, with_bias: bool = True):
         if with_bias
         else None
     )
-    for block in (8, 16, 24, 32, 48, 64):
+    blocks = (8, 16, 24, 32, 48, 64) if S >= 20 else (16, 32, 64, 128, 256)
+    for block in blocks:
         try:
             f = _looped(
                 lambda x, block=block: attention_block_pallas(
@@ -226,7 +227,7 @@ def cmd_cross(F: int, T: int, B: int):
         -10000.0
         * (np.random.default_rng(7).random((B, 1, 1, T)) < 0.3).astype(np.float32)
     )
-    for block in (8, 16, 32, 64):
+    for block in (8, 16, 32, 64, 128):
         try:
             f = _looped(
                 lambda x, ctx, block=block: cross_attention_block_pallas(
@@ -248,6 +249,8 @@ def main():
         cmd_stages(a[0], int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "attn":
         cmd_attn(int(a[0]), int(a[1]) if len(a) > 1 else 8192)
+    elif cmd == "attn_nobias":
+        cmd_attn(int(a[0]), int(a[1]) if len(a) > 1 else 8192, with_bias=False)
     elif cmd == "ffn":
         cmd_ffn(int(a[0]), int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "cross":

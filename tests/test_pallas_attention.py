@@ -65,10 +65,22 @@ def test_packed_matches_xla(with_bias):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.fixture
+def ffn_fold_enabled(monkeypatch):
+    """Force the (default-off) 128-row fold on, resetting its cache around
+    the test so the patched threshold can't leak."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops import pallas_ffn
+
+    monkeypatch.setenv("KMR_FFN_FOLD_MIN_WASTE", "0.1")
+    pallas_ffn._fold_min_waste.cache_clear()
+    yield
+    pallas_ffn._fold_min_waste.cache_clear()
+
+
 @pytest.mark.parametrize("b,s", [(5, 40), (16, 8), (32, 12)])
-def test_ffn_pallas_matches_reference(b, s):
-    # (16, 8) and (32, 12) hit the lane-tile flat layout ((b*s) % 128 == 0);
-    # (5, 40) keeps the original [B, S, H] blocking
+def test_ffn_pallas_matches_reference(b, s, ffn_fold_enabled):
+    # (16, 8) and (32, 12) hit the lane-tile flat layout ((b*s) % 128 == 0,
+    # forced on via the env threshold); (5, 40) keeps [B, S, H] blocking
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_ffn import (
         ffn_block_pallas,
     )
