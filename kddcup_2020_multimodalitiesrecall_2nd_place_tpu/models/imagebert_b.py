@@ -142,6 +142,16 @@ def embed(
     return x
 
 
+# run the encoder at a sublane-aligned sequence length: S=30 forces a
+# 30->32 relayout inside every fused kernel's matmul reshape, measured
+# +51% attention-block time on v5e (2.85 ms vs 4.30 ms per 2048x12 heads).
+# B's padding is *masked* (unlike A's all-ones quirk), so two extra
+# always-masked positions are parity-exact: their keys get the -10000
+# bias (softmax weight exactly 0.0 in f32) and nothing downstream reads
+# their rows (pooler = token 0, MLM/word-match positions < 30).
+PADDED_SEQ_LEN = 32
+
+
 def apply(
     p: Params,
     batch: dict,
@@ -155,8 +165,12 @@ def apply(
         emb_rng = enc_rng = None
     x = embed(p, batch, cfg, prec, emb_rng)
     mask = input_mask(batch)
+    pad = PADDED_SEQ_LEN - SEQ_LEN
+    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    mask = jnp.pad(mask, ((0, 0), (0, pad)))
     bias = ((1.0 - mask.astype(jnp.float32)) * -10000.0)[:, None, None, :]
     seq = encoder(p["bert"]["encoder"], x, bias, cfg, prec, rng=enc_rng)
+    seq = seq[:, :SEQ_LEN]
     pooled = pooler(p["bert"]["pooler"], seq, prec)
     labels = batch["labels"]
     probs = heads.am_probs(p["cls"]["seq_relationship"], pooled, labels)

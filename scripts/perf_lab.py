@@ -144,6 +144,37 @@ def _looped(fn):
     return jax.jit(g)
 
 
+def cmd_train(name: str, B: int):
+    """Train-step throughput (fwd+bwd+optimizer, XLA path -- the fused
+    kernels have no VJP and are bypassed when dropout rngs are present)."""
+    from scripts.bench_all import make_batch
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import Trainer
+
+    spec = get_model(name)
+    trainer = Trainer(spec, precision=Precision.bf16())
+    state = trainer.init_state(jax.random.key(0))
+    batch = make_batch(name, spec.config, B, np.random.default_rng(0))
+    batch.setdefault("labels", np.ones((B,), np.int32))
+    rng = jax.random.key(1)
+    state, _ = trainer.train_step(state, batch, rng)  # compile
+    _force(state.params)
+    import time as _t
+
+    iters = 4
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        state, metrics = trainer.train_step(state, batch, rng)
+    _force(metrics["loss"])
+    dt = (_t.perf_counter() - t0) / iters
+    _emit(cmd="train", model=name, B=B, ms=round(dt * 1e3, 2),
+          pairs_per_sec=round(B / dt, 1))
+
+
 def _rand(shape, dtype=np.float32, seed=0):
     # build (and bf16-cast) host-side: every eager device op on this rig is
     # a fresh remote XLA compile, and f32 ships 2x the bytes through the
@@ -245,6 +276,8 @@ def main():
     a = sys.argv[2:]
     if cmd == "model":
         cmd_model(a[0], int(a[1]) if len(a) > 1 else 8192)
+    elif cmd == "train":
+        cmd_train(a[0], int(a[1]) if len(a) > 1 else 1024)
     elif cmd == "stages":
         cmd_stages(a[0], int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "attn":
