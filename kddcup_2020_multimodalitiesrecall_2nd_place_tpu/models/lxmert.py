@@ -53,6 +53,13 @@ from .core import (
 
 ACT = "gelu_erf"
 
+# NOTE on sequence padding: imagebert_b pads S 30->32 for +20% whole-model
+# (sublane alignment); the same trick measured NEGATIVE here in every
+# combination on v5e (23/10 baseline 17.3k pairs/s vs 24/16 16.9k, 23/16
+# 16.6k) -- the streams' tile padding is already absorbed by the kernels'
+# compact [block*S, H] matmul reshape, and real extra rows only add FLOPs.
+# Keep both streams at their natural lengths.
+
 
 @dataclass(frozen=True)
 class LxmertConfig:
@@ -199,9 +206,6 @@ def apply(
     else:
         emb_rng = lab_rng = vis_rng = layer_rng = None
 
-    lang_bias = mask_to_bias(batch["input_mask"])[:, None, None, :]
-    visn_bias = mask_to_bias(batch["feats_mask"])[:, None, None, :]
-
     lang = bert_embed(
         emb, batch["input_ids"], cfg, rng=emb_rng, out_dtype=prec.compute_dtype
     )
@@ -210,6 +214,9 @@ def apply(
         emb, batch["label_ids"], cfg, rng=lab_rng, out_dtype=prec.compute_dtype
     )
     visn = visual_encoder(enc["visn_fc"], batch, label_emb, cfg, prec, vis_rng)
+
+    lang_bias = mask_to_bias(batch["input_mask"])[:, None, None, :]
+    visn_bias = mask_to_bias(batch["feats_mask"])[:, None, None, :]
 
     def _rngs3(r):
         """(attn_rng, hidden_rng), ffn_rng for one block, or Nones."""

@@ -267,13 +267,13 @@ def attention_block_pallas(
 ) -> jax.Array:
     """The whole post-LN self-attention block in one VMEM-resident kernel.
 
-    Default block_b measured on v5e (B=2048 sweeps): 16 at S>=20 (24+
-    overflows VMEM: qkv slab is [block, S, 3H] f32-accumulated), 32 at
-    short S (LXMERT's 10-token visual stream: +8% vs 16; 64 ties the
-    sweep but trips the 16M scoped-vmem limit inside the full model)."""
+    Default block_b measured on v5e (B=2048 sweeps): 32 up to S=24 (S=23:
+    2.43 -> 2.24 ms; S=10: +8% vs 16), 16 above (block 24+ at S>=30
+    overflows the scoped-vmem limit: the qkv slab is [block, S, 3H]
+    f32-accumulated; 64 at S=10 ties the sweep but OOMs in-model)."""
     b, s, h = x.shape
     if block_b is None:
-        block_b = 32 if s < 16 else 16
+        block_b = 32 if s <= 24 else 16
     block = min(block_b, b)
     grid = (pl.cdiv(b, block),)
     dtype = x.dtype
