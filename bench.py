@@ -20,7 +20,17 @@ import numpy as np
 
 
 def main() -> None:
+    import pathlib
+
     import jax
+
+    # the remote XLA compile helper on this rig costs 1-5 min per program;
+    # persist compiles so driver re-runs (and repeat benches) skip them
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
         Precision,
@@ -49,9 +59,13 @@ def main() -> None:
     if jax.default_backend() == "tpu":
         set_attention_backend("pallas_packed")
     prec = Precision.bf16()
-    bf16_params = jax.tree.map(
-        lambda x: x.astype("bfloat16") if x.dtype == np.float32 else x, params
-    )
+    # one jitted cast program instead of ~30 per-leaf eager converts (each
+    # eager op is its own remote compile on this rig)
+    bf16_params = jax.jit(
+        lambda p: jax.tree.map(
+            lambda x: x.astype("bfloat16") if x.dtype == np.float32 else x, p
+        )
+    )(params)
 
     @jax.jit
     def score(params, batch):

@@ -52,6 +52,12 @@ def make_batch(name: str, cfg, B: int, rng) -> dict:
 def main() -> None:
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parents[1] / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
         Precision,
         get_model,
@@ -63,10 +69,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
     for name in ("imagebert_a", "imagebert_b", "imagebert_c", "lxmert"):
         spec = get_model(name)
-        params = jax.tree.map(
-            lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x,
-            spec.init_params(jax.random.key(0)),
-        )
+        params = jax.jit(
+            lambda p: jax.tree.map(
+                lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x, p
+            )
+        )(spec.init_params(jax.random.key(0)))
         batch = jax.device_put(make_batch(name, spec.config, B, rng))
         with attention.attention_backend(backend):
             f = jax.jit(lambda p, b: spec.apply(p, b, spec.config, Precision.bf16())["score"])

@@ -53,10 +53,12 @@ def _emit(**kw):
 
 
 def _bf16_params(spec):
-    return jax.tree.map(
-        lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x,
-        spec.init_params(jax.random.key(0)),
-    )
+    # one jitted cast program (eager per-leaf casts = per-shape remote compiles)
+    return jax.jit(
+        lambda p: jax.tree.map(
+            lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x, p
+        )
+    )(spec.init_params(jax.random.key(0)))
 
 
 def cmd_model(name: str, B: int):
