@@ -361,6 +361,11 @@ def encoder(
 ) -> jax.Array:
     num_layers = jax.tree.leaves(p)[0].shape[0]
 
+    # remat per layer: without it the backward pass saves every scan-stacked
+    # intermediate ([L, B, S, 4H] GELU inputs etc.) -- a 1024-pair train
+    # step needs 40G HBM on a 15.75G chip. jax.checkpoint is free on the
+    # pure forward (no transform -> no recompute).
+    @jax.checkpoint
     def body(carry, inp):
         h, r = carry
         layer_p = inp

@@ -181,6 +181,9 @@ def visual_encoder(
 
 
 def _scan_stack(stacked: Params, fn, init):
+    # per-layer remat, as in core.encoder: the backward otherwise saves all
+    # scan-stacked intermediates (train batch 1024 needs ~39G of 15.75G HBM)
+    @jax.checkpoint
     def body(carry, layer_p):
         return fn(carry, layer_p), None
 

@@ -251,6 +251,69 @@ def _attn_block_no_bias(
     )
 
 
+def _attn_block_kernel_headmajor(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, bias_ref,
+    o_ref, *, num_heads, eps,
+):
+    """Experimental head-major variant: transpose qkv to [BLOCK*N, S, Dh]
+    once and run scores/softmax/PV as single batched ops (batch = BLOCK*N)
+    instead of a python loop of N per-head dot_generals. Trades two VMEM
+    relayouts for fewer, deeper-pipelined ops; pick by measurement."""
+    x = x_ref[:]  # [BLOCK, S, H]
+    block, s, h = x.shape
+    n, dh = num_heads, h // num_heads
+    scale = 1.0 / (dh**0.5)
+    x2d = x.reshape(block * s, h)
+    qkv = (
+        jax.lax.dot(x2d, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype)
+    qkv = qkv.reshape(block, s, 3, n, dh).transpose(0, 2, 3, 1, 4)
+    qkv = qkv.reshape(block, 3, n, s, dh)
+    q = qkv[:, 0].reshape(block * n, s, dh)
+    k = qkv[:, 1].reshape(block * n, s, dh)
+    v = qkv[:, 2].reshape(block * n, s, dh)
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if bias_ref is not None:
+        bias = bias_ref[:].astype(jnp.float32)
+        if bias.ndim == 2:  # compact key-mask rows [BLOCK, T]
+            bias = bias[:, None, None, :]  # -> [BLOCK, 1, 1, T]
+        else:  # [BLOCK, F, T]
+            bias = bias[:, None, :, :]
+        scores = (
+            scores.reshape(block, n, s, s) + bias
+        ).reshape(block * n, s, s)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jax.lax.dot_general(
+        probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # [block*n, s, dh]
+    ctx = ctx.reshape(block, n, s, dh).transpose(0, 2, 1, 3).reshape(block * s, h)
+    o2d = (
+        jax.lax.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+        + bo_ref[:].astype(jnp.float32)
+    )
+    y = o2d + x2d.astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[:] = y.reshape(block, s, h).astype(o_ref.dtype)
+
+
+def _attn_block_headmajor_no_bias(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, o_ref,
+    *, num_heads, eps,
+):
+    _attn_block_kernel_headmajor(
+        x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, None,
+        o_ref, num_heads=num_heads, eps=eps,
+    )
+
+
 def attention_block_pallas(
     x: jax.Array,  # [B, S, H]
     wqkv: jax.Array,  # [H, 3H]
@@ -263,6 +326,7 @@ def attention_block_pallas(
     bias: jax.Array | None = None,  # [B, 1, 1 or S, S] additive
     eps: float = 1e-12,
     block_b: int | None = None,
+    variant: str = "loop",  # "loop" (per-head) | "headmajor" (batched)
     interpret: bool = False,
 ) -> jax.Array:
     """The whole post-LN self-attention block in one VMEM-resident kernel.
@@ -310,11 +374,19 @@ def attention_block_pallas(
             bias_full = jnp.broadcast_to(bias, (b, 1, s, s)).reshape(b, s, s)
             in_specs.append(pl.BlockSpec((block, s, s), xi, memory_space=pltpu.VMEM))
             args.append(bias_full)
+        body = (
+            _attn_block_kernel_headmajor if variant == "headmajor"
+            else _attn_block_kernel
+        )
         kernel = functools.partial(
-            _attn_block_bias_last, num_heads=num_heads, eps=eps
+            _bias_last_adapter, body=body, num_heads=num_heads, eps=eps
         )
     else:
-        kernel = functools.partial(_attn_block_no_bias, num_heads=num_heads, eps=eps)
+        kernel = functools.partial(
+            _attn_block_headmajor_no_bias if variant == "headmajor"
+            else _attn_block_no_bias,
+            num_heads=num_heads, eps=eps,
+        )
 
     return pl.pallas_call(
         kernel,
@@ -327,11 +399,13 @@ def attention_block_pallas(
     )(*args)
 
 
-def _attn_block_bias_last(
+def _bias_last_adapter(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, bias_ref,
-    o_ref, *, num_heads, eps,
+    o_ref, *, body, num_heads, eps,
 ):
-    _attn_block_kernel(
+    """pallas passes the bias ref last among inputs; the kernel bodies take
+    it before o_ref."""
+    body(
         x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref,
         bias_ref, o_ref, num_heads=num_heads, eps=eps,
     )

@@ -185,7 +185,7 @@ def _rand(shape, dtype=np.float32, seed=0):
     return jax.device_put(x.astype(jnp.dtype(dtype).name))
 
 
-def cmd_attn(S: int, B: int, with_bias: bool = True):
+def cmd_attn(S: int, B: int, with_bias: bool = True, variant: str = "loop"):
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
         attention_block_pallas,
     )
@@ -209,12 +209,13 @@ def cmd_attn(S: int, B: int, with_bias: bool = True):
         try:
             f = _looped(
                 lambda x, block=block: attention_block_pallas(
-                    x, wqkv, bqkv, wo, bo, g, be, N, bias, block_b=block
+                    x, wqkv, bqkv, wo, bo, g, be, N, bias, block_b=block,
+                    variant=variant,
                 )
             )
             t = _time(f, x) / LOOP_N
             _emit(cmd="attn", S=S, B=B, block=block, bias=with_bias,
-                  ms=round(t * 1e3, 3))
+                  variant=variant, ms=round(t * 1e3, 3))
         except Exception as e:  # noqa: BLE001
             _emit(cmd="attn", S=S, B=B, block=block, error=str(e)[:120])
 
@@ -286,6 +287,8 @@ def main():
         cmd_attn(int(a[0]), int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "attn_nobias":
         cmd_attn(int(a[0]), int(a[1]) if len(a) > 1 else 8192, with_bias=False)
+    elif cmd == "attn_hm":
+        cmd_attn(int(a[0]), int(a[1]) if len(a) > 1 else 8192, variant="headmajor")
     elif cmd == "ffn":
         cmd_ffn(int(a[0]), int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "cross":

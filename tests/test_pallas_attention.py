@@ -106,8 +106,9 @@ def test_ffn_pallas_matches_reference(b, s, ffn_fold_enabled):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("variant", ["loop", "headmajor"])
 @pytest.mark.parametrize("with_bias", [False, True])
-def test_fused_attention_block_matches_unfused(with_bias):
+def test_fused_attention_block_matches_unfused(with_bias, variant):
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
         BertConfig,
         Precision,
@@ -135,7 +136,7 @@ def test_fused_attention_block_matches_unfused(with_bias):
     got = attention_block_pallas(
         x, wqkv, bqkv, p["output"]["dense"]["kernel"], p["output"]["dense"]["bias"],
         p["output"]["LayerNorm"]["gamma"], p["output"]["LayerNorm"]["beta"],
-        cfg.num_attention_heads, bias, block_b=2, interpret=True,
+        cfg.num_attention_heads, bias, block_b=2, variant=variant, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
 
