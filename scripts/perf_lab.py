@@ -162,6 +162,12 @@ def cmd_train(name: str, B: int):
     state = trainer.init_state(jax.random.key(0))
     batch = make_batch(name, spec.config, B, np.random.default_rng(0))
     batch.setdefault("labels", np.ones((B,), np.int32))
+    # stage ON DEVICE once: re-shipping the 84 MB batch per step through the
+    # ~30 MB/s tunnel would swamp the step time (train_step's device_put is
+    # a no-op for already-sharded arrays)
+    batch = {
+        k: jax.device_put(v, trainer._batch_sharding) for k, v in batch.items()
+    }
     rng = jax.random.key(1)
     state, _ = trainer.train_step(state, batch, rng)  # compile
     _force(state.params)
@@ -175,6 +181,81 @@ def cmd_train(name: str, B: int):
     dt = (_t.perf_counter() - t0) / iters
     _emit(cmd="train", model=name, B=B, ms=round(dt * 1e3, 2),
           pairs_per_sec=round(B / dt, 1))
+
+
+def cmd_opt(name: str):
+    """Optimizer update + clip + EMA alone on ones-grads (f32 params)."""
+    import optax
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import get_model
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import Trainer
+
+    spec = get_model(name)
+    trainer = Trainer(spec)
+    state = trainer.init_state(jax.random.key(0))
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train.optim import (
+        clip_by_global_norm,
+        clip_by_value,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train.ema import ema_update
+
+    tc = trainer.tc
+
+    @jax.jit
+    def step(state):
+        grads = jax.tree.map(lambda x: jnp.ones_like(x) * 1e-6, state.params)
+        if tc.clip == "global_norm":
+            grads, _ = clip_by_global_norm(grads, tc.clip_value)
+        elif tc.clip == "value":
+            grads = clip_by_value(grads, tc.clip_value)
+        updates, opt_state = trainer.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = (
+            ema_update(state.ema, params, tc.ema_decay)
+            if state.ema is not None
+            else None
+        )
+        return state._replace(params=params, opt_state=opt_state, ema=ema,
+                              step=state.step + 1)
+
+    t = _time(step, state, iters=4)
+    _emit(cmd="opt", model=name, ms=round(t * 1e3, 2))
+
+
+def cmd_grad(name: str, B: int, with_dropout: bool):
+    """value_and_grad of the training loss alone (no optimizer/clip/EMA),
+    dropout toggled by passing/withholding the rng -- isolates where the
+    train-step time goes."""
+    from scripts.bench_all import make_batch
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import recipe_for
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train.trainer import (
+        make_loss_fn,
+    )
+
+    import os
+
+    spec = get_model(name)
+    loss_fn = make_loss_fn(spec, recipe_for(name), Precision.bf16())
+    if os.environ.get("KMR_GRAD_F32"):
+        params = spec.init_params(jax.random.key(0))  # trainer-real f32
+    else:
+        params = _bf16_params(spec)  # grads wrt bf16 copies; timing only
+    batch = make_batch(name, spec.config, B, np.random.default_rng(0))
+    batch.setdefault("labels", np.ones((B,), np.int32))
+    batch = jax.device_put(batch)
+    rng = jax.random.key(1) if with_dropout else None
+
+    f = jax.jit(
+        lambda p, b: jax.value_and_grad(loss_fn, has_aux=True)(p, b, rng)
+    )
+    t = _time(f, params, batch, iters=4)
+    _emit(cmd="grad", model=name, B=B, dropout=with_dropout,
+          ms=round(t * 1e3, 2))
 
 
 def _rand(shape, dtype=np.float32, seed=0):
@@ -281,6 +362,11 @@ def main():
         cmd_model(a[0], int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "train":
         cmd_train(a[0], int(a[1]) if len(a) > 1 else 1024)
+    elif cmd == "grad":
+        cmd_grad(a[0], int(a[1]) if len(a) > 1 else 1024,
+                 with_dropout=(len(a) < 3 or a[2] != "nodrop"))
+    elif cmd == "opt":
+        cmd_opt(a[0])
     elif cmd == "stages":
         cmd_stages(a[0], int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "attn":
