@@ -257,8 +257,12 @@ def _attn_block_kernel_headmajor(
 ):
     """Experimental head-major variant: transpose qkv to [BLOCK*N, S, Dh]
     once and run scores/softmax/PV as single batched ops (batch = BLOCK*N)
-    instead of a python loop of N per-head dot_generals. Trades two VMEM
-    relayouts for fewer, deeper-pipelined ops; pick by measurement."""
+    instead of a python loop of N per-head dot_generals.
+
+    Verdict on v5e: DO NOT USE at real sizes -- Mosaic unrolls the
+    [block, s, 3, n, dh] transposes into a ~4.7 MB MLIR module (vs 139 KB
+    for the loop variant) and the TPU compiler rejects it. Kept as a
+    documented negative result (interpret-mode parity-tested)."""
     x = x_ref[:]  # [BLOCK, S, H]
     block, s, h = x.shape
     n, dh = num_heads, h // num_heads
