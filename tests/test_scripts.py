@@ -226,3 +226,32 @@ def test_train_resume(data_dir, tmp_path):
     r = _run([*base, "--steps", "2", "--resume", str(out_dir / "state_2")], timeout=540)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "resumed from" in r.stdout and "at step 2" in r.stdout
+
+
+def test_main_cli_one_shot_submission(data_dir, tmp_path):
+    """The reference code/main.py equivalent: one command, four scorers,
+    fused submission."""
+    out = tmp_path / "pred"
+    r = _run(
+        [
+            "scripts/main.py",
+            "--tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--workdir", str(out),
+            "--batch-size", "8",
+            "--expect-pairs", "12",
+        ],
+        timeout=580,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    sub = Path(summary["submission"])
+    assert sub.exists()
+    lines = sub.read_text().splitlines()
+    assert lines[0].startswith("query-id,product1")
+    assert summary["queries"] == len(lines) - 1 > 0
+    # all four intermediate score files landed in the workdir
+    assert sorted(p.name for p in out.iterdir() if "score" in p.name) == [
+        "testB_score_a.txt", "testB_score_b.txt", "testB_score_c.txt",
+        "testB_score_lxmert.csv",
+    ]
