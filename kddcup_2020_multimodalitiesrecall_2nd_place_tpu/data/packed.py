@@ -125,6 +125,7 @@ class PackedDataset:
         covers each instance exactly once per epoch with no coordination."""
         epoch = 0
         while epochs is None or epoch < epochs:
+            n_yielded = 0
             rng = np.random.default_rng((seed, epoch))
             carry: list[tuple[dict, np.ndarray]] = []
             carry_n = 0
@@ -141,6 +142,7 @@ class PackedDataset:
                     pos += take
                     if carry_n == batch_size:
                         parts = [self._assemble(s, i) for s, i in carry]
+                        n_yielded += 1
                         yield {
                             f: np.concatenate([p[f] for p in parts], axis=0)
                             if len(parts) > 1
@@ -150,8 +152,16 @@ class PackedDataset:
                         carry, carry_n = [], 0
             if not drop_remainder and carry:
                 parts = [self._assemble(s, i) for s, i in carry]
+                n_yielded += 1
                 yield {
                     f: np.concatenate([p[f] for p in parts], axis=0)
                     for f in self.fields
                 }
+            if n_yielded == 0:
+                # with epochs=None + drop_remainder this would otherwise
+                # re-permute and re-scan shards forever yielding nothing
+                raise ValueError(
+                    f"batch_size={batch_size} exceeds this process's "
+                    f"{len(self) // max(process_count, 1)} packed instances"
+                )
             epoch += 1

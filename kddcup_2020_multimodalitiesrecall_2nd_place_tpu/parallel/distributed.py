@@ -33,13 +33,15 @@ def maybe_initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    force: bool = False,
 ) -> bool:
     """Initialize jax.distributed when configured; returns True if it ran.
 
     Explicit args win; otherwise JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars; otherwise, on Cloud TPU,
     ``jax.distributed.initialize()`` auto-detects -- requested with
-    KMR_DISTRIBUTED=1 so single-host rigs never pay the probe.
+    ``force=True`` (the --distributed CLI flag) or KMR_DISTRIBUTED=1 so
+    single-host rigs never pay the probe.
     """
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
@@ -59,25 +61,40 @@ def maybe_initialize(
             ),
         )
         return True
-    if os.environ.get("KMR_DISTRIBUTED") == "1":
+    if force or os.environ.get("KMR_DISTRIBUTED") == "1":
         jax.distributed.initialize()  # TPU-pod auto-detection
         return True
     return False
 
 
 def process_shard(paths: Sequence, process_id: int | None = None,
-                  process_count: int | None = None) -> list:
-    """The round-robin slice of an input shard list owned by this process
-    (multi-host replacement for the reference's train_split.py round-robin:
-    one split across hosts instead of 5 files on one box)."""
+                  process_count: int | None = None) -> tuple[list, bool]:
+    """This process's slice of the input shards + whether LINE striding is
+    needed (multi-host replacement for the reference's train_split.py
+    round-robin: one split across hosts instead of 5 files on one box).
+
+    With at least one file per process, files are dealt round-robin and the
+    second element is False. With more processes than files every process
+    reads every file and must keep only lines ``process_id::process_count``
+    (``stride_lines``) -- a file-level fallback that handed leftover
+    processes the full list would duplicate rows across the pod.
+    """
     pid = jax.process_index() if process_id is None else process_id
     n = jax.process_count() if process_count is None else process_count
-    owned = [p for i, p in enumerate(paths) if i % n == pid]
-    if not owned and paths:
-        # more hosts than files: everyone reads everything and relies on
-        # global_batch_from_local row slicing for disjointness
-        return list(paths)
-    return owned
+    if len(paths) >= n:
+        return [p for i, p in enumerate(paths) if i % n == pid], False
+    return list(paths), True
+
+
+def stride_lines(lines, process_id: int | None = None,
+                 process_count: int | None = None):
+    """Disjoint line-level round-robin over a shared line stream (used when
+    there are fewer input files than processes)."""
+    import itertools
+
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if process_count is None else process_count
+    return itertools.islice(lines, pid, None, n)
 
 
 def local_rows(global_batch_size: int, process_id: int | None = None,

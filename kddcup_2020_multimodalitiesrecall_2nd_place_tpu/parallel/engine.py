@@ -186,10 +186,13 @@ class ScoringEngine:
                 from ..data.fast_pipeline import native_batches_from_files
                 from ..data.pipeline import PrefetchIterator
 
+                # key batch assembly on the LAYOUT, not the model name:
+                # two_tower scores with imagebert_b-layout batches and has
+                # no entry of its own (C maps to b the same way)
                 batches = PrefetchIterator(
                     native_batches_from_files(
-                        paths, featurizer, self.model.name, batch_size,
-                        stats=stats.pipeline,
+                        paths, featurizer, self.model.featurizer_layout,
+                        batch_size, stats=stats.pipeline,
                     ),
                     prefetch=4,
                 )
@@ -197,7 +200,7 @@ class ScoringEngine:
                 if use_native:
                     raise
         if batches is None:
-            fz = featurizer.for_model(self.model.name)
+            fz = featurizer.for_model(self.model.featurizer_layout)
             batches = batches_from_files(paths, fz, batch_size, stats=stats.pipeline)
         result: dict[str, dict[str, float]] = {}
         t0 = time.perf_counter()

@@ -58,6 +58,10 @@ def main() -> None:
     ap.add_argument("--answers", default=None,
                     help="valid_answer.json: report recall@K and cascade nDCG@5")
     ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--precision", choices=["f32", "bf16"], default="f32",
+                    help="cross-encoder rerank precision; f32 matches "
+                         "scripts/score.py's default so the cascade's scores "
+                         "agree with the scorer CLI for the same checkpoint")
     args = ap.parse_args()
 
     import jax
@@ -126,13 +130,20 @@ def main() -> None:
         products.setdefault(ex.product_id, ex)
     product_exs = list(products.values())
     product_ids = np.array([ex.product_id for ex in product_exs])
+    # pad the ragged tail chunk: a second traced shape costs 1-3 min of
+    # remote compile on the bench rig for zero benefit
+    def _embed_chunks(embed_fn, params, exs):
+        out = []
+        for i in range(0, len(exs), args.batch_size):
+            chunk = [tower_fz.imagebert_b(ex) for ex in exs[i : i + args.batch_size]]
+            b = pad_batch(stack_examples(chunk), args.batch_size)
+            out.append(np.asarray(embed_fn(params, b))[: len(chunk)])
+        return np.concatenate(out, axis=0)
+
     embed_p = jax.jit(lambda p, b: embed_product(p, b, tcfg))
-    cat_chunks = []
-    for i in range(0, len(product_exs), args.batch_size):
-        chunk = [tower_fz.imagebert_b(ex) for ex in product_exs[i : i + args.batch_size]]
-        b = stack_examples(chunk)
-        cat_chunks.append(np.asarray(embed_p(tower_params, b)))
-    catalog = jnp.asarray(np.concatenate(cat_chunks, axis=0), jnp.bfloat16)
+    catalog = jnp.asarray(
+        _embed_chunks(embed_p, tower_params, product_exs), jnp.bfloat16
+    )
     print(f"catalog: {catalog.shape[0]} products", file=sys.stderr)
 
     # ---- stage 1b: query embeddings + recall --------------------------------
@@ -142,11 +153,7 @@ def main() -> None:
     query_exs = list(queries.values())
     query_ids = np.array([ex.query_id for ex in query_exs])
     embed_q = jax.jit(lambda p, b: embed_query(p, b, tcfg))
-    q_chunks = []
-    for i in range(0, len(query_exs), args.batch_size):
-        chunk = [tower_fz.imagebert_b(ex) for ex in query_exs[i : i + args.batch_size]]
-        q_chunks.append(np.asarray(embed_q(tower_params, stack_examples(chunk))))
-    q_emb = jnp.asarray(np.concatenate(q_chunks, axis=0))
+    q_emb = jnp.asarray(_embed_chunks(embed_q, tower_params, query_exs))
     k = min(args.k_recall, catalog.shape[0])
     _, top_idx = top_k_products(q_emb, catalog, k=k)
     top_idx = np.asarray(top_idx)
@@ -158,7 +165,12 @@ def main() -> None:
     else:
         print("WARNING: random cross-encoder init (smoke-test mode)", file=sys.stderr)
         cross_params = cross_spec.init_params(jax.random.key(1))
-    engine = ScoringEngine(cross_spec, cross_params, donate_batch=False)
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import Precision
+
+    prec = Precision.f32() if args.precision == "f32" else Precision.bf16()
+    engine = ScoringEngine(
+        cross_spec, cross_params, precision=prec, donate_batch=False
+    )
     featurize = fz.for_model(args.cross_model)
 
     pair_exs, pair_qids, pair_pids = [], [], []

@@ -74,14 +74,21 @@ def main() -> None:
         ap.error("--valid-tsv and --answers must be given together")
     if bool(args.train_tsv) == bool(args.packed_dir):
         ap.error("exactly one of --train-tsv / --packed-dir is required")
+    if args.model == "two_tower" and args.packed_dir:
+        ap.error("--packed-dir shards are pos/neg cross-encoder instances; "
+                 "the label-blind in-batch InfoNCE would train hard negatives "
+                 "as positives -- two_tower trains on positive rows from "
+                 "--train-tsv")
 
     if args.distributed:
-        # must run before any other jax use so the backend sees the pod
+        # must run before backend init so jax sees the pod; force=True makes
+        # the explicit flag initialize even without coordinator env vars
+        # (Cloud TPU auto-detection) instead of silently staying single-host
         from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import (
             maybe_initialize,
         )
 
-        maybe_initialize()
+        maybe_initialize(force=True)
 
     import jax
     import numpy as np
@@ -154,9 +161,11 @@ def main() -> None:
         print(f"resumed from {args.resume} at step {int(jax.device_get(state.step))}")
 
     # multi-host: --batch-size is global; this process reads its slice of
-    # the shard list and contributes batch/process_count rows per step
+    # the shard list (or a disjoint line stride when files < processes) and
+    # contributes batch/process_count rows per step
     local_bs = args.batch_size
     train_files = args.train_tsv
+    line_stride = False
     if jax.process_count() > 1:
         from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import (
             local_rows,
@@ -165,7 +174,22 @@ def main() -> None:
 
         local_bs = local_rows(args.batch_size)
         if train_files:
-            train_files = process_shard(train_files)
+            train_files, line_stride = process_shard(train_files)
+
+    def lines():
+        raw = _file_lines(train_files)
+        if line_stride:
+            from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel.distributed import (
+                stride_lines,
+            )
+
+            return stride_lines(raw)
+        return raw
+
+    def _file_lines(paths):
+        for path in paths:
+            with open(path, "r", encoding="utf-8") as f:
+                yield from f
 
     def batches():
         if args.packed_dir:
@@ -182,29 +206,30 @@ def main() -> None:
             )
             return
         while True:  # epochs
+            n_yielded = 0
             if sampler is None:
-                from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
-                    batches_from_files,
+                from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.pipeline import (
+                    iter_batches,
                 )
 
-                for b in batches_from_files(
-                    train_files, featurizer.imagebert_b, local_bs
-                ):
+                for b in iter_batches(lines(), featurizer.imagebert_b, local_bs):
                     if b["valid"].all():  # drop the ragged tail: in-batch
-                        yield b  # negatives need full batches
-                continue
-
-            def lines():
-                for path in train_files:
-                    with open(path, "r", encoding="utf-8") as f:
-                        yield from f
-
-            buf = []
-            for example in sampler.examples(lines()):
-                buf.append(example)
-                if len(buf) == local_bs:
-                    yield pad_batch(stack_examples(buf), local_bs)
-                    buf = []
+                        n_yielded += 1  # negatives need full batches
+                        yield b
+            else:
+                buf = []
+                for example in sampler.examples(lines()):
+                    buf.append(example)
+                    if len(buf) == local_bs:
+                        n_yielded += 1
+                        yield pad_batch(stack_examples(buf), local_bs)
+                        buf = []
+            if n_yielded == 0:
+                # otherwise the epoch loop would silently spin forever
+                raise SystemExit(
+                    f"no full {local_bs}-row batch from one pass over "
+                    f"{train_files}: fewer usable rows than --batch-size"
+                )
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)

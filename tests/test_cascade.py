@@ -81,9 +81,19 @@ def tower_run(data_dir, tmp_path_factory):
             "--warmup-steps", "0",  # uniform-logit saddle; 1e-3 -> acc 1.0
             "--checkpoint-every", "80",
             "--out", str(out),
+            # valid loop at the final step: regression for the two_tower
+            # featurizer lookup in ScoringEngine (layout, not model name)
+            "--valid-tsv", str(data_dir / "pairs.tsv"),
+            "--answers", str(data_dir / "answers.json"),
         ]
     )
     assert r.returncode == 0, r.stderr[-3000:]
+    metrics = [
+        json.loads(line)
+        for line in (out / "metrics.jsonl").read_text().splitlines()
+    ]
+    ndcgs = [m["valid_ndcg5"] for m in metrics if "valid_ndcg5" in m]
+    assert ndcgs and 0.0 <= ndcgs[-1] <= 1.0
     return out
 
 

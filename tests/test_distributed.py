@@ -24,12 +24,31 @@ from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import (
 def test_process_shard_round_robin():
     files = [f"train{i}.tsv" for i in range(10)]
     slices = [process_shard(files, process_id=p, process_count=4) for p in range(4)]
-    assert slices[0] == ["train0.tsv", "train4.tsv", "train8.tsv"]
-    # disjoint cover
-    flat = [f for s in slices for f in s]
+    assert slices[0] == (["train0.tsv", "train4.tsv", "train8.tsv"], False)
+    # disjoint cover, no line striding needed
+    flat = [f for s, stride in slices for f in s]
     assert sorted(flat) == sorted(files)
-    # more hosts than files: everyone reads everything (rows disambiguate)
-    assert process_shard(["a.tsv"], process_id=3, process_count=4) == ["a.tsv"]
+    assert not any(stride for _, stride in slices)
+    # more hosts than files: everyone reads everything + line striding
+    assert process_shard(["a.tsv"], process_id=3, process_count=4) == (
+        ["a.tsv"], True
+    )
+
+
+def test_stride_lines_disjoint_cover():
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel.distributed import (
+        stride_lines,
+    )
+
+    lines = [f"row{i}" for i in range(11)]
+    slices = [
+        list(stride_lines(iter(lines), process_id=p, process_count=3))
+        for p in range(3)
+    ]
+    assert slices[0] == ["row0", "row3", "row6", "row9"]
+    flat = [l for s in slices for l in s]
+    assert sorted(flat) == sorted(lines)
+    assert len(set(flat)) == len(lines)
 
 
 def test_local_rows():

@@ -106,6 +106,20 @@ def test_epoch_shuffling_and_coverage(sampler_setup, tmp_path):
     assert len(flat1) == len(flat2) == n_batches * 4
 
 
+def test_batches_refuses_oversized_batch(sampler_setup, tmp_path):
+    """epochs=None + drop_remainder would otherwise spin forever when the
+    (per-process) instance count is below batch_size."""
+    want = sampler_setup()
+    write_packed_shards(iter(want), tmp_path / "p", shard_size=16)
+    ds = PackedDataset(tmp_path / "p")
+    with pytest.raises(ValueError, match="exceeds"):
+        next(ds.batches(len(ds) + 1, epochs=None))
+    # per-process stride below batch_size must also refuse
+    with pytest.raises(ValueError, match="exceeds"):
+        next(ds.batches(len(ds) // 2 + 2, epochs=None,
+                        process_id=0, process_count=3))
+
+
 def test_train_step_from_packed(sampler_setup, tmp_path):
     jax = pytest.importorskip("jax")
 
