@@ -137,11 +137,25 @@ def apply(
 
 
 def contrastive_loss(
-    q_emb: jax.Array, p_emb: jax.Array, temperature: float = 0.05
+    q_emb: jax.Array,
+    p_emb: jax.Array,
+    temperature: float = 0.05,
+    group_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
-    """Symmetric in-batch InfoNCE; diagonal pairs are the positives."""
+    """Symmetric in-batch InfoNCE; diagonal pairs are the positives.
+
+    ``group_ids`` (e.g. query ids, [B] int): off-diagonal pairs sharing a
+    group are masked out of the softmax -- on real data one query maps to
+    many products, and without the mask those co-positive rows are trained
+    as false negatives (train.py threads query_id through as
+    ``query_group``)."""
     logits = (q_emb @ p_emb.T) / temperature
-    labels = jnp.arange(q_emb.shape[0])
+    b = q_emb.shape[0]
+    labels = jnp.arange(b)
+    if group_ids is not None:
+        same = group_ids[:, None] == group_ids[None, :]
+        off_diag = ~jnp.eye(b, dtype=bool)
+        logits = jnp.where(same & off_diag, -jnp.inf, logits)
     loss_q = -jnp.mean(jax.nn.log_softmax(logits, axis=1)[labels, labels])
     loss_p = -jnp.mean(jax.nn.log_softmax(logits, axis=0)[labels, labels])
     acc = jnp.mean((jnp.argmax(logits, axis=1) == labels).astype(jnp.float32))

@@ -163,7 +163,10 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
             from ..models.two_tower import contrastive_loss
 
             loss, tower_metrics = contrastive_loss(
-                out["q_emb"], out["p_emb"], model.config.temperature
+                out["q_emb"],
+                out["p_emb"],
+                model.config.temperature,
+                group_ids=batch.get("query_group"),
             )
             metrics.update(tower_metrics)
             metrics["loss"] = loss

@@ -215,6 +215,9 @@ def main() -> None:
                 for b in iter_batches(lines(), featurizer.imagebert_b, local_bs):
                     if b["valid"].all():  # drop the ragged tail: in-batch
                         n_yielded += 1  # negatives need full batches
+                        # duplicate-query rows must not be trained as
+                        # false negatives (contrastive_loss group mask)
+                        b["query_group"] = b["query_id"].astype("int32")
                         yield b
             else:
                 buf = []

@@ -115,3 +115,26 @@ def test_contrastive_training_overfits_tiny_batch():
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[::10]
     assert float(metrics["in_batch_accuracy"]) >= 0.75
+
+
+def test_contrastive_group_mask_removes_false_negatives():
+    """Two rows sharing a query: without the group mask the duplicate is a
+    false negative and inflates the loss; with it, only true negatives
+    compete in the softmax."""
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    q[1] = q[0]  # rows 0 and 1 share a query embedding
+    p = rng.standard_normal((4, 8)).astype(np.float32)
+    q = jnp.asarray(q) / jnp.linalg.norm(q, axis=1, keepdims=True)
+    p = jnp.asarray(p) / jnp.linalg.norm(p, axis=1, keepdims=True)
+    groups = jnp.asarray([7, 7, 8, 9], jnp.int32)
+
+    plain, _ = contrastive_loss(q, p, temperature=0.1)
+    masked, _ = contrastive_loss(q, p, temperature=0.1, group_ids=groups)
+    # masking removes probability mass from the duplicate's column/row
+    assert float(masked) < float(plain)
+    # with all-distinct groups the mask is a no-op
+    distinct, _ = contrastive_loss(
+        q, p, temperature=0.1, group_ids=jnp.asarray([1, 2, 3, 4], jnp.int32)
+    )
+    np.testing.assert_allclose(float(distinct), float(plain), rtol=1e-6)
