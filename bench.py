@@ -72,15 +72,21 @@ def main() -> None:
         return model.apply(params, batch, cfg, prec)["score"]
 
     # warmup / compile; NB: on this platform block_until_ready can return
-    # before execution finishes, so every timing forces a host fetch.
-    float(np.asarray(score(bf16_params, batch)).sum())
-    float(np.asarray(score(bf16_params, batch)).sum())
+    # before execution finishes, so timings force a host fetch -- but of a
+    # jitted SCALAR reduce, with the iterations pipelined: fetching the
+    # whole [B] array per iteration serializes on the ~29 ms/dispatch
+    # tunnel and reads ~4-8% low.
+    import jax.numpy as jnp
+
+    reduce = jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))
+    float(jax.device_get(reduce(score(bf16_params, batch))))
+    float(jax.device_get(reduce(score(bf16_params, batch))))
 
     n_iters = 30
     t0 = time.perf_counter()
-    checksum = 0.0
     for _ in range(n_iters):
-        checksum += float(np.asarray(score(bf16_params, batch))[0])
+        out = score(bf16_params, batch)
+    float(jax.device_get(reduce(out)))
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()

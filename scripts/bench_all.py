@@ -51,6 +51,7 @@ def make_batch(name: str, cfg, B: int, rng) -> dict:
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -75,13 +76,18 @@ def main() -> None:
             )
         )(spec.init_params(jax.random.key(0)))
         batch = jax.device_put(make_batch(name, spec.config, B, rng))
+        # force with a jitted scalar reduce and pipeline the dispatches:
+        # fetching the whole [B] array per iteration serializes on the
+        # ~29 ms/dispatch tunnel and reads ~8% low (see scripts/perf_lab.py)
+        reduce = jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))
         with attention.attention_backend(backend):
             f = jax.jit(lambda p, b: spec.apply(p, b, spec.config, Precision.bf16())["score"])
-            float(np.asarray(f(params, batch))[0])
+            float(jax.device_get(reduce(f(params, batch))))
             t0 = time.perf_counter()
             n_iters = 8
             for _ in range(n_iters):
-                s = float(np.asarray(f(params, batch))[0])
+                out = f(params, batch)
+            float(jax.device_get(reduce(out)))
             rate = n_iters * B / (time.perf_counter() - t0)
         print(
             json.dumps(

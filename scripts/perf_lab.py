@@ -367,6 +367,34 @@ def main():
                  with_dropout=(len(a) < 3 or a[2] != "nodrop"))
     elif cmd == "opt":
         cmd_opt(a[0])
+    elif cmd == "trace":
+        # jax.profiler capture around a few scoring steps; view with
+        # tensorboard --logdir <dir>. Best-effort through the axon tunnel
+        # (device-side tracing may be unavailable); intended for real rigs.
+        from scripts.bench_all import make_batch
+
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+            Precision,
+            get_model,
+        )
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops import attention
+
+        name, B, out_dir = a[0], int(a[1]), a[2]
+        spec = get_model(name)
+        params = _bf16_params(spec)
+        batch = jax.device_put(
+            make_batch(name, spec.config, B, np.random.default_rng(0))
+        )
+        with attention.attention_backend("pallas_packed"):
+            f = jax.jit(
+                lambda p, b: spec.apply(p, b, spec.config, Precision.bf16())["score"]
+            )
+            _force(f(params, batch))  # compile outside the trace
+            with jax.profiler.trace(out_dir):
+                for _ in range(3):
+                    out = f(params, batch)
+                _force(out)
+        _emit(cmd="trace", model=name, B=B, dir=out_dir)
     elif cmd == "stages":
         cmd_stages(a[0], int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "attn":
