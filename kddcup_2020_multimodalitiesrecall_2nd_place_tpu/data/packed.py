@@ -133,6 +133,12 @@ class PackedDataset:
                 shard = self._maps[si]
                 order = rng.permutation(self.shard_sizes[si])
                 if process_count > 1:
+                    # truncate to a multiple of process_count BEFORE striding
+                    # so every process yields the same number of instances per
+                    # epoch -- otherwise strides differ by up to 1 per shard
+                    # and hosts drift across epoch boundaries (unequal step
+                    # counts under finite epochs)
+                    order = order[: len(order) - len(order) % process_count]
                     order = order[process_id::process_count]
                 pos = 0
                 while pos < len(order):

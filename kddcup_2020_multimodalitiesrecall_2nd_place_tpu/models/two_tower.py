@@ -172,12 +172,19 @@ def top_k_products(
     catalog: jax.Array,  # [N, D] (bf16 recommended)
     k: int = 5,
     chunk: int = 1 << 18,
+    num_valid: jax.Array | int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact MIPS over the catalog, chunked to bound the [Q, chunk] scores.
+
+    ``num_valid`` (static or traced scalar) marks rows ``>= num_valid`` as
+    padding: they score -inf and can never displace real candidates. Used by
+    :func:`recall_sharded`, whose device padding otherwise scores 0.
 
     -> (scores [Q, k], indices [Q, k]).
     """
     n = catalog.shape[0]
+    if num_valid is None:
+        num_valid = n
     n_chunks = (n + chunk - 1) // chunk
     pad = n_chunks * chunk - n
     cat = jnp.pad(catalog, ((0, pad), (0, 0)), constant_values=0)
@@ -192,7 +199,7 @@ def top_k_products(
         )
         base = c_idx * chunk
         idx = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(idx < n, scores, -jnp.inf)  # mask padded rows
+        scores = jnp.where(idx < num_valid, scores, -jnp.inf)  # mask padded rows
         merged_s = jnp.concatenate([best_s, scores], axis=1)
         merged_i = jnp.concatenate([best_i, idx], axis=1)
         top_s, top_pos = jax.lax.top_k(merged_s, k)
@@ -237,16 +244,21 @@ def recall_sharded(
     q_emb = jax.device_put(q_emb, rep)
 
     def shard_fn(q, cat_shard):
-        from jax.experimental.shard_map import shard_map
-
         def local(q, c):
             # per-shard exact top-k; the k*n_devices candidates are merged
-            # outside the shard_map (tiny: [Q, k*devices])
-            s, i = top_k_products(q, c, k=k, chunk=min(chunk, c.shape[0]))
+            # outside the shard_map (tiny: [Q, k*devices]). The device-pad
+            # rows live at the tail of the LAST shard: bound each shard's
+            # valid count so zero-padding can't displace real (possibly
+            # negative-scoring) candidates from the per-shard top-k.
             shard = jax.lax.axis_index(DATA_AXIS)
-            return s, i + shard * c.shape[0]
+            shard_size = c.shape[0]
+            valid = jnp.clip(n - shard * shard_size, 0, shard_size)
+            s, i = top_k_products(
+                q, c, k=k, chunk=min(chunk, shard_size), num_valid=valid
+            )
+            return s, i + shard * shard_size
 
-        s, i = shard_map(
+        s, i = jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(P(), P(DATA_AXIS)),

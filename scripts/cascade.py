@@ -202,6 +202,9 @@ def main() -> None:
         for qid in map(str, query_ids):
             row = sorted(scores.get(qid, {}).items(), key=lambda kv: -kv[1])
             tops = [pid for pid, _ in row[: args.k_out]]
+            # always exactly k_out product columns (empty-padded), so the
+            # header's productN schema holds even when recall returned <k_out
+            tops += [""] * (args.k_out - len(tops))
             f.write(f"{qid},{','.join(tops)}\n")
     print(f"wrote {args.out}", file=sys.stderr)
 

@@ -138,9 +138,10 @@ def test_cascade_cli(data_dir, tower_run, tmp_path):
     # every emitted product must come from the recall stage's candidate set
     for line in lines[1:]:
         cells = line.split(",")
-        assert 2 <= len(cells) <= 6
+        assert len(cells) == 6  # exactly k_out product columns (empty-padded)
         for pid in cells[1:]:
-            assert 500000 <= int(pid) < 500032
+            if pid:
+                assert 500000 <= int(pid) < 500032
 
 
 def test_cascade_narrow_recall(data_dir, tower_run, tmp_path):

@@ -106,6 +106,34 @@ def test_epoch_shuffling_and_coverage(sampler_setup, tmp_path):
     assert len(flat1) == len(flat2) == n_batches * 4
 
 
+def test_multihost_strides_equal_counts_and_disjoint(sampler_setup, tmp_path):
+    """Every process must yield the SAME number of instances per epoch
+    (advisor r2: otherwise hosts drift across epoch boundaries) and the
+    per-process strides must be disjoint."""
+    want = sampler_setup()
+    write_packed_shards(iter(want), tmp_path / "p", shard_size=7)
+    ds = PackedDataset(tmp_path / "p")
+    n_proc = 3  # shard sizes 7 and the tail are NOT divisible by 3
+    assert any(s % n_proc for s in ds.shard_sizes)
+    keys_per_proc = []
+    for pid in range(n_proc):
+        keys = []
+        for b in ds.batches(1, epochs=1, seed=9, process_id=pid,
+                            process_count=n_proc):
+            keys.append(
+                b["features"][0].astype(np.float16).tobytes()
+                + b["input_ids"][0].tobytes()
+            )
+        keys_per_proc.append(keys)
+    counts = [len(k) for k in keys_per_proc]
+    assert len(set(counts)) == 1, counts
+    flat = [k for keys in keys_per_proc for k in keys]
+    assert len(flat) == len(set(flat))  # disjoint
+    # truncation drops at most (process_count - 1) instances per shard
+    dropped = len(ds) - len(flat)
+    assert dropped <= (n_proc - 1) * len(ds.shard_sizes)
+
+
 def test_batches_refuses_oversized_batch(sampler_setup, tmp_path):
     """epochs=None + drop_remainder would otherwise spin forever when the
     (per-process) instance count is below batch_size."""

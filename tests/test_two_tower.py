@@ -88,6 +88,28 @@ def test_recall_sharded_equals_single_device():
     )
 
 
+def test_recall_sharded_all_negative_scores_nondivisible():
+    """Device zero-padding must never displace real candidates (advisor r2):
+    catalog where every true score is negative and size % n_devices != 0 --
+    with unmasked padding the zero rows win the last shard's top-k and get
+    dropped to -1 after the merge, returning fewer than k genuine results."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(4)
+    q = np.abs(rng.standard_normal((3, 16))).astype(np.float32)
+    cat = -np.abs(rng.standard_normal((13, 16))).astype(np.float32)
+    s, i = recall_sharded(jnp.asarray(q), jnp.asarray(cat), mesh, k=5, chunk=8)
+    i = np.asarray(i)
+    assert (i >= 0).all(), i
+    ref = q @ cat.T
+    ref_idx = np.argsort(-ref, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.sort(i, 1), np.sort(ref_idx, 1))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(s), 1),
+        np.sort(np.take_along_axis(ref, ref_idx, 1), 1),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_contrastive_training_overfits_tiny_batch():
     import optax
 
