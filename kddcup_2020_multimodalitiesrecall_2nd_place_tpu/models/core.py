@@ -183,6 +183,48 @@ def attention_block(
     n = cfg.num_attention_heads
     attn_rng, hid_rng = dropout_rngs if dropout_rngs else (None, None)
     if (
+        attn_rng is not None
+        and x is ctx
+        and "kernel" in p["query"]
+        and (
+            bias is None
+            or (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1)
+        )
+    ):
+        from ..ops.pallas_train import (
+            attention_block_train,
+            seed_from_key,
+            train_fused_mode,
+        )
+
+        mode = train_fused_mode()
+        if mode != "off":
+            # fused custom-VJP training block: in-kernel dropout, Pallas
+            # fwd+bwd, XLA weight-grad matmuls (ops/pallas_train.py)
+            qkv_kernel = jnp.concatenate(
+                [p["query"]["kernel"], p["key"]["kernel"], p["value"]["kernel"]],
+                axis=1,
+            )
+            qkv_bias = jnp.concatenate(
+                [p["query"]["bias"], p["key"]["bias"], p["value"]["bias"]]
+            )
+            b, s, _ = x.shape
+            return attention_block_train(
+                x.astype(prec.compute_dtype),
+                qkv_kernel,
+                qkv_bias,
+                p["output"]["dense"]["kernel"],
+                p["output"]["dense"]["bias"],
+                p["output"]["LayerNorm"]["gamma"],
+                p["output"]["LayerNorm"]["beta"],
+                n,
+                seed_from_key(attn_rng),
+                bias=None if bias is None else bias.reshape(b, s),
+                attn_dropout_rate=cfg.attention_probs_dropout_prob,
+                hidden_dropout_rate=cfg.hidden_dropout_prob,
+                interpret=(mode == "interpret"),
+            )
+    if (
         packed_attention_active()
         and attn_rng is None
         and hid_rng is None
@@ -290,6 +332,33 @@ def ffn_block(
 ) -> jax.Array:
     act_name = act or cfg.hidden_act
     if (
+        hid_rng is not None
+        and "kernel" in p["intermediate"]
+        and act_name in ("gelu", "gelu_erf")
+        and x.ndim == 3
+    ):
+        from ..ops.pallas_train import (
+            ffn_block_train,
+            seed_from_key,
+            train_fused_mode,
+        )
+
+        mode = train_fused_mode()
+        if mode != "off":
+            return ffn_block_train(
+                x.astype(prec.compute_dtype),
+                p["intermediate"]["kernel"],
+                p["intermediate"]["bias"],
+                p["output"]["dense"]["kernel"],
+                p["output"]["dense"]["bias"],
+                p["output"]["LayerNorm"]["gamma"],
+                p["output"]["LayerNorm"]["beta"],
+                seed_from_key(hid_rng),
+                dropout_rate=cfg.hidden_dropout_prob,
+                approximate_gelu=(act_name == "gelu"),
+                interpret=(mode == "interpret"),
+            )
+    if (
         packed_attention_active()
         and hid_rng is None
         and "kernel" in p["intermediate"]
@@ -361,11 +430,6 @@ def encoder(
 ) -> jax.Array:
     num_layers = jax.tree.leaves(p)[0].shape[0]
 
-    # remat per layer: without it the backward pass saves every scan-stacked
-    # intermediate ([L, B, S, 4H] GELU inputs etc.) -- a 1024-pair train
-    # step needs 40G HBM on a 15.75G chip. jax.checkpoint is free on the
-    # pure forward (no transform -> no recompute).
-    @jax.checkpoint
     def body(carry, inp):
         h, r = carry
         layer_p = inp
@@ -376,6 +440,22 @@ def encoder(
             rngs = None
         h = encoder_layer(layer_p, h, bias, cfg, prec, act=act, rngs=rngs)
         return (h, r), None
+
+    # remat per layer on the XLA training path: without it the backward
+    # saves every scan-stacked intermediate ([L, B, S, 4H] GELU inputs
+    # etc.) -- a 1024-pair train step needs 40G HBM on a 15.75G chip.
+    # jax.checkpoint is free on the pure forward (no transform -> no
+    # recompute). The fused train path (ops/pallas_train.py) skips it: the
+    # custom-VJP blocks recompute their own intermediates in VMEM, so the
+    # only per-layer residuals are the [B, S, H] block inputs, and an
+    # outer remat would just run every forward kernel twice.
+    if rng is not None:
+        from ..ops.pallas_train import train_fused_mode
+
+        if train_fused_mode() == "off":
+            body = jax.checkpoint(body)
+    else:
+        body = jax.checkpoint(body)
 
     (x, _), _ = jax.lax.scan(body, (x.astype(prec.compute_dtype), rng), p, length=num_layers)
     return x

@@ -1,0 +1,797 @@
+"""Custom-VJP fused training blocks: Pallas forward AND backward kernels.
+
+Training previously bypassed the fused inference kernels
+(ops/pallas_attention.py, ops/pallas_ffn.py) because they had no VJP and
+dropout needed per-mask rng tensors. That left the training step on the
+unfused XLA path at ~11-15%% MFU (docs/BENCH.md round 2). These kernels
+close the gap the TPU-native way:
+
+* **forward**: the same fully fused block computation as the inference
+  kernels plus in-kernel dropout driven by the TPU hardware PRNG
+  (``pltpu.prng_seed`` / ``prng_random_bits``), seeded per (step seed,
+  grid block). No [B,S,S]/[B,S,H] threefry mask tensors ever touch HBM.
+* **backward**: a hand-written Pallas kernel per block recomputes the
+  in-VMEM intermediates from the block input (cheaper than saving [B,S,I]
+  GELU activations to HBM -- this subsumes the per-layer ``jax.checkpoint``
+  the XLA path needs) and emits dx plus the per-row gradients; the big
+  [rows,H]x[rows,I] *weight*-gradient matmuls are left to XLA, where the
+  MXU runs a 2-D reduction over B*S rows near peak.
+* **determinism**: the backward reseeds the identical PRNG stream (same
+  seed, same program_id, same draw order and shapes), so dropout masks
+  match the forward bit-exactly -- the property jax.random gets from
+  functional keys is recovered by construction.
+
+The interpreter (CPU test) path cannot use the hardware PRNG (no interpret
+rule), so masks there come from a counter-based hash (`_hash_bits`) that is
+plain jnp -- the same formula is exported for pure-jnp reference
+implementations, letting tests check the custom VJP against ``jax.grad``
+of an identical-masks reference.
+
+Gradient dtypes follow the f32-params / bf16-compute training policy: dx is
+emitted in the residual stream's dtype, weight/bias/LN grads in float32.
+
+Reference recipes these kernels train: ``run_pretraining_predict_score.py``
+(ImageBERT-A towers), ``train_normal.py:59-98`` (ImageBERT-B). Dropout
+placement matches BERT exactly: attention probabilities, post-projection
+hidden states, post-FFN hidden states (``pixelmodel.py:807-833,935-960``).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_ffn import _erf_as
+
+_INV_SQRT_2PI = 0.3989422804014327
+_GELU_C = 0.7978845608028654  # sqrt(2/pi)
+_GELU_A = 0.044715
+
+
+def gelu_fwd(u, approximate: bool):
+    if approximate:
+        t = jnp.tanh(_GELU_C * (u + _GELU_A * u * u * u))
+        return 0.5 * u * (1.0 + t)
+    return 0.5 * u * (1.0 + _erf_as(u * (2.0**-0.5)))
+
+
+def gelu_bwd(u, approximate: bool):
+    """d gelu / du, float32."""
+    if approximate:
+        t = jnp.tanh(_GELU_C * (u + _GELU_A * u * u * u))
+        return 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * _GELU_C * (
+            1.0 + 3.0 * _GELU_A * u * u
+        )
+    phi = jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
+    return 0.5 * (1.0 + _erf_as(u * (2.0**-0.5))) + u * phi
+
+
+def _hash_bits(seed, draw: int, shape) -> jax.Array:
+    """Counter-based uint32 hash (murmur3 fmix over a per-element index).
+
+    Used (a) on the interpret path, where the hardware PRNG has no rule,
+    and (b) by pure-jnp reference implementations in tests so ``jax.grad``
+    of the reference sees the *same* masks as the Pallas kernels.
+    ``seed`` is a traced int32/uint32 scalar; ``draw`` distinguishes
+    successive draws within one kernel invocation.
+    """
+    idx = jnp.zeros(shape, jnp.uint32)
+    mults = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
+    for d in range(len(shape)):
+        iota = jax.lax.broadcasted_iota(jnp.uint32, shape, d)
+        idx = idx + iota * jnp.uint32(mults[d % len(mults)])
+    x = idx ^ seed.astype(jnp.uint32) ^ jnp.uint32((draw * 0x632BE59B) & 0xFFFFFFFF)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def dropout_cutoff(rate: float) -> int:
+    """uint32 threshold: drop iff bits < cutoff (P = rate)."""
+    return min(int(rate * 4294967296.0), 4294967295)
+
+
+def _keep_mask(seed, draw: int, shape, cutoff: int, interpret: bool):
+    """Boolean keep-mask for one dropout draw.
+
+    Hardware path: sequential draws from the per-core PRNG (the caller
+    must have seeded it; draw order/shapes must match between fwd and bwd).
+    Interpret path: order-independent counter hash.
+    """
+    if interpret:
+        bits = _hash_bits(seed, draw, shape)
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= jnp.uint32(cutoff)
+
+
+def _seed_prng(seed_ref, interpret: bool):
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    # interpret path folds the block id into the per-draw hash seed instead
+    return seed_ref[0] + pl.program_id(0) * jnp.int32(1000003)
+
+
+def _layer_norm_fwd(z, gamma, beta, eps):
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    zn = (z - mean) * inv
+    return zn * gamma + beta, zn, inv
+
+
+def _write_partial(ref, row):
+    """Write a per-grid-block [H] reduction into a (1, 8, H) output block.
+
+    TPU block shapes need the sublane dim divisible by 8, so the row is
+    replicated across 8 sublanes; the XLA side reads ``p[:, 0, :]``.
+    """
+    ref[:] = jnp.broadcast_to(row[None, None, :], ref.shape).astype(ref.dtype)
+
+
+def _partial_spec(h):
+    return pl.BlockSpec((1, 8, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _layer_norm_bwd(dy, zn, inv, gamma):
+    """Row-wise LN backward -> (dz, per-row dgamma summand, dbeta summand)."""
+    g = dy * gamma
+    dz = (
+        g
+        - jnp.mean(g, axis=-1, keepdims=True)
+        - zn * jnp.mean(g * zn, axis=-1, keepdims=True)
+    ) * inv
+    return dz
+
+
+# ==========================================================================
+# FFN block: y = LN(x + dropout(W2 gelu(W1 x + b1) + b2))
+# ==========================================================================
+
+
+@dataclass(frozen=True)
+class FfnTrainSpec:
+    dropout_rate: float
+    approximate_gelu: bool
+    eps: float
+    block_b: int
+    interpret: bool
+
+    @property
+    def cutoff(self) -> int:
+        return dropout_cutoff(self.dropout_rate)
+
+
+def _ffn_fwd_kernel(
+    seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref, beta_ref,
+    y_ref, *, spec: FfnTrainSpec,
+):
+    seed = _seed_prng(seed_ref, spec.interpret)
+    x = x_ref[:]
+    block, s, h = x.shape
+    x2d = x.reshape(block * s, h)
+    u = jax.lax.dot(
+        x2d, w1_ref[:], preferred_element_type=jnp.float32
+    ) + b1_ref[:].astype(jnp.float32)
+    g = gelu_fwd(u, spec.approximate_gelu).astype(x.dtype)
+    hid = jax.lax.dot(
+        g, w2_ref[:], preferred_element_type=jnp.float32
+    ) + b2_ref[:].astype(jnp.float32)
+    if spec.dropout_rate > 0.0:
+        keep = _keep_mask(seed, 0, hid.shape, spec.cutoff, spec.interpret)
+        hid = jnp.where(keep, hid * (1.0 / (1.0 - spec.dropout_rate)), 0.0)
+    z = hid + x2d.astype(jnp.float32)
+    y, _, _ = _layer_norm_fwd(
+        z, gamma_ref[:].astype(jnp.float32), beta_ref[:].astype(jnp.float32),
+        spec.eps,
+    )
+    y_ref[:] = y.reshape(block, s, h).astype(y_ref.dtype)
+
+
+def _ffn_bwd_kernel(
+    seed_ref, x_ref, dy_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref,
+    dx_ref, du_ref, gsave_ref, dh_ref, dgamma_ref, dbeta_ref,
+    *, spec: FfnTrainSpec,
+):
+    seed = _seed_prng(seed_ref, spec.interpret)
+    x = x_ref[:]
+    block, s, h = x.shape
+    x2d = x.reshape(block * s, h)
+    # ---- recompute forward (identical draw order to _ffn_fwd_kernel) ----
+    u = jax.lax.dot(
+        x2d, w1_ref[:], preferred_element_type=jnp.float32
+    ) + b1_ref[:].astype(jnp.float32)
+    g = gelu_fwd(u, spec.approximate_gelu)
+    g16 = g.astype(x.dtype)
+    hid = jax.lax.dot(
+        g16, w2_ref[:], preferred_element_type=jnp.float32
+    ) + b2_ref[:].astype(jnp.float32)
+    if spec.dropout_rate > 0.0:
+        keep = _keep_mask(seed, 0, hid.shape, spec.cutoff, spec.interpret)
+        inv_keep = 1.0 / (1.0 - spec.dropout_rate)
+        hid = jnp.where(keep, hid * inv_keep, 0.0)
+    z = hid + x2d.astype(jnp.float32)
+    gamma = gamma_ref[:].astype(jnp.float32)
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + spec.eps)
+    zn = (z - mean) * inv
+    # ---- backward ----
+    dy = dy_ref[:].reshape(block * s, h).astype(jnp.float32)
+    _write_partial(dgamma_ref, jnp.sum(dy * zn, axis=0))
+    _write_partial(dbeta_ref, jnp.sum(dy, axis=0))
+    dz = _layer_norm_bwd(dy, zn, inv, gamma)
+    if spec.dropout_rate > 0.0:
+        dh = jnp.where(keep, dz * inv_keep, 0.0)
+    else:
+        dh = dz
+    dh16 = dh.astype(x.dtype)
+    dh_ref[:] = dh16.reshape(block, s, h)
+    gsave_ref[:] = g16.reshape(block, s, -1)
+    # dg = dh @ W2^T (NT matmul: contract both last dims)
+    dg = jax.lax.dot_general(
+        dh16, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    du = dg * gelu_bwd(u, spec.approximate_gelu)
+    du16 = du.astype(x.dtype)
+    du_ref[:] = du16.reshape(block, s, -1)
+    dx = dz + jax.lax.dot_general(
+        du16, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[:] = dx.reshape(block, s, h).astype(dx_ref.dtype)
+
+
+def _const_spec(a):
+    nd = a.ndim
+    return pl.BlockSpec(
+        a.shape, functools.partial(lambda n, i: (0,) * n, nd),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _block_spec(block, trailing):
+    return pl.BlockSpec(
+        (block, *trailing), lambda i: (i,) + (0,) * len(trailing),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _grid_check(b: int, block: int, what: str) -> int:
+    if b % block != 0:
+        raise ValueError(
+            f"{what}: batch {b} must be divisible by block_b {block} "
+            "(dropout streams are per grid block)"
+        )
+    return b // block
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ffn_train(spec: FfnTrainSpec, x, w1, b1, w2, b2, gamma, beta, seed):
+    y, _ = _ffn_train_fwd(spec, x, w1, b1, w2, b2, gamma, beta, seed)
+    return y
+
+
+def _ffn_train_fwd(spec: FfnTrainSpec, x, w1, b1, w2, b2, gamma, beta, seed):
+    b, s, h = x.shape
+    block = min(spec.block_b, b)
+    n_blocks = _grid_check(b, block, "ffn_block_train")
+    dt = x.dtype
+    w1c, w2c = w1.astype(dt), w2.astype(dt)
+    y = pl.pallas_call(
+        functools.partial(_ffn_fwd_kernel, spec=spec),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _block_spec(block, (s, h)),
+            _const_spec(w1c), _const_spec(b1), _const_spec(w2c),
+            _const_spec(b2), _const_spec(gamma), _const_spec(beta),
+        ],
+        out_specs=_block_spec(block, (s, h)),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=spec.interpret,
+    )(seed, x, w1c, b1, w2c, b2, gamma, beta)
+    return y, (x, w1, b1, w2, b2, gamma, seed)
+
+
+def _ffn_train_bwd(spec: FfnTrainSpec, res, dy):
+    x, w1, b1, w2, b2, gamma, seed = res
+    b, s, h = x.shape
+    i_dim = w1.shape[1]
+    block = min(spec.block_b, b)
+    n_blocks = b // block
+    dt = x.dtype
+    w1c, w2c = w1.astype(dt), w2.astype(dt)
+    dx, du, g, dh, dgamma_p, dbeta_p = pl.pallas_call(
+        functools.partial(_ffn_bwd_kernel, spec=spec),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _block_spec(block, (s, h)),
+            _block_spec(block, (s, h)),
+            _const_spec(w1c), _const_spec(b1), _const_spec(w2c),
+            _const_spec(b2), _const_spec(gamma),
+        ],
+        out_specs=[
+            _block_spec(block, (s, h)),
+            _block_spec(block, (s, i_dim)),
+            _block_spec(block, (s, i_dim)),
+            _block_spec(block, (s, h)),
+            _partial_spec(h),
+            _partial_spec(h),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, h), dt),
+            jax.ShapeDtypeStruct((b, s, i_dim), dt),
+            jax.ShapeDtypeStruct((b, s, i_dim), dt),
+            jax.ShapeDtypeStruct((b, s, h), dt),
+            jax.ShapeDtypeStruct((n_blocks, 8, h), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 8, h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=spec.interpret,
+    )(seed, x, dy.astype(dt), w1c, b1, w2c, b2, gamma)
+    # weight gradients: one big MXU-friendly reduction over B*S rows each
+    rows = lambda t: t.reshape(-1, t.shape[-1])  # noqa: E731
+    dw1 = jax.lax.dot_general(
+        rows(x), rows(du), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1 = jnp.sum(rows(du).astype(jnp.float32), axis=0)
+    dw2 = jax.lax.dot_general(
+        rows(g), rows(dh), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2 = jnp.sum(rows(dh).astype(jnp.float32), axis=0)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return (dx, dw1, db1, dw2, db2,
+            dgamma_p[:, 0, :].sum(0), dbeta_p[:, 0, :].sum(0), dseed)
+
+
+_ffn_train.defvjp(_ffn_train_fwd, _ffn_train_bwd)
+
+
+def ffn_block_train(
+    x: jax.Array,  # [B, S, H]
+    w1: jax.Array,  # [H, I] float32
+    b1: jax.Array,
+    w2: jax.Array,  # [I, H] float32
+    b2: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    seed: jax.Array,  # [1] int32 -- per (step, layer) dropout stream
+    dropout_rate: float = 0.0,
+    approximate_gelu: bool = True,
+    eps: float = 1e-12,
+    block_b: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable fused FFN block with in-kernel dropout."""
+    spec = FfnTrainSpec(
+        dropout_rate=float(dropout_rate), approximate_gelu=approximate_gelu,
+        eps=eps, block_b=block_b, interpret=interpret,
+    )
+    return _ffn_train(spec, x, w1, b1, w2, b2, gamma, beta, seed)
+
+
+# ==========================================================================
+# self-attention block:
+#   y = LN(x + dropout(Wo . concat_heads(dropout(softmax(QK^T/s + bias)) V)))
+# ==========================================================================
+
+
+@dataclass(frozen=True)
+class AttnTrainSpec:
+    num_heads: int
+    attn_dropout_rate: float
+    hidden_dropout_rate: float
+    eps: float
+    block_b: int
+    interpret: bool
+    has_bias: bool
+
+    @property
+    def attn_cutoff(self) -> int:
+        return dropout_cutoff(self.attn_dropout_rate)
+
+    @property
+    def hidden_cutoff(self) -> int:
+        return dropout_cutoff(self.hidden_dropout_rate)
+
+
+def _attn_recompute_heads(spec, seed, qkv, bias):
+    """Shared fwd/bwd head loop: per-head (undropped probs f32, keep mask).
+
+    Draw order: head 0..N-1 attention masks; the hidden mask is drawn by the
+    caller AFTER this loop (both kernels must call in the same sequence).
+    """
+    block, s, h3 = qkv.shape
+    h = h3 // 3
+    n, dh = spec.num_heads, h // spec.num_heads
+    scale = 1.0 / (dh**0.5)
+    probs_list, keep_list = [], []
+    for i in range(n):
+        q = qkv[..., i * dh : (i + 1) * dh]
+        k = qkv[..., h + i * dh : h + (i + 1) * dh]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        keep = None
+        if spec.attn_dropout_rate > 0.0:
+            keep = _keep_mask(
+                seed, 1 + i, probs.shape, spec.attn_cutoff, spec.interpret
+            )
+        probs_list.append(probs)
+        keep_list.append(keep)
+    return probs_list, keep_list
+
+
+def _attn_fwd_kernel(
+    seed_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref,
+    *rest, spec: AttnTrainSpec,
+):
+    if spec.has_bias:
+        bias_ref, y_ref = rest
+    else:
+        (y_ref,) = rest
+        bias_ref = None
+    seed = _seed_prng(seed_ref, spec.interpret)
+    x = x_ref[:]
+    block, s, h = x.shape
+    n, dh = spec.num_heads, h // spec.num_heads
+    x2d = x.reshape(block * s, h)
+    qkv = (
+        jax.lax.dot(x2d, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype).reshape(block, s, 3 * h)
+    bias = None
+    if bias_ref is not None:
+        # compact key-mask rows [BLOCK, S] broadcast over query positions
+        bias = bias_ref[:].astype(jnp.float32)[:, None, :]
+    probs_list, keep_list = _attn_recompute_heads(spec, seed, qkv, bias)
+    inv_attn = 1.0 / (1.0 - spec.attn_dropout_rate)
+    head_outs = []
+    for i in range(n):
+        probs = probs_list[i]
+        if keep_list[i] is not None:
+            probs = jnp.where(keep_list[i], probs * inv_attn, 0.0)
+        v = qkv[..., 2 * h + i * dh : 2 * h + (i + 1) * dh]
+        head_outs.append(
+            jax.lax.dot_general(
+                probs.astype(x.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    ctx = jnp.concatenate(head_outs, axis=-1).reshape(block * s, h)
+    o = jax.lax.dot(
+        ctx, wo_ref[:], preferred_element_type=jnp.float32
+    ) + bo_ref[:].astype(jnp.float32)
+    if spec.hidden_dropout_rate > 0.0:
+        keep_h = _keep_mask(seed, 0, o.shape, spec.hidden_cutoff, spec.interpret)
+        o = jnp.where(keep_h, o * (1.0 / (1.0 - spec.hidden_dropout_rate)), 0.0)
+    z = o + x2d.astype(jnp.float32)
+    y, _, _ = _layer_norm_fwd(
+        z, gamma_ref[:].astype(jnp.float32), beta_ref[:].astype(jnp.float32),
+        spec.eps,
+    )
+    y_ref[:] = y.reshape(block, s, h).astype(y_ref.dtype)
+
+
+def _attn_bwd_kernel(
+    seed_ref, x_ref, dy_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref,
+    *rest, spec: AttnTrainSpec,
+):
+    if spec.has_bias:
+        (bias_ref, dx_ref, dqkv_ref, ctx_ref, do_ref, dgamma_ref,
+         dbeta_ref) = rest
+    else:
+        (dx_ref, dqkv_ref, ctx_ref, do_ref, dgamma_ref, dbeta_ref) = rest
+        bias_ref = None
+    seed = _seed_prng(seed_ref, spec.interpret)
+    x = x_ref[:]
+    block, s, h = x.shape
+    n, dh = spec.num_heads, h // spec.num_heads
+    scale = 1.0 / (dh**0.5)
+    x2d = x.reshape(block * s, h)
+    # ---- recompute forward (identical draw order to _attn_fwd_kernel) ----
+    qkv = (
+        jax.lax.dot(x2d, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype).reshape(block, s, 3 * h)
+    bias = None
+    if bias_ref is not None:
+        bias = bias_ref[:].astype(jnp.float32)[:, None, :]
+    probs_list, keep_list = _attn_recompute_heads(spec, seed, qkv, bias)
+    inv_attn = 1.0 / (1.0 - spec.attn_dropout_rate)
+    head_outs, probsd_list = [], []
+    for i in range(n):
+        probs = probs_list[i]
+        if keep_list[i] is not None:
+            probsd = jnp.where(keep_list[i], probs * inv_attn, 0.0)
+        else:
+            probsd = probs
+        probsd16 = probsd.astype(x.dtype)
+        probsd_list.append(probsd16)
+        v = qkv[..., 2 * h + i * dh : 2 * h + (i + 1) * dh]
+        head_outs.append(
+            jax.lax.dot_general(
+                probsd16, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    ctx = jnp.concatenate(head_outs, axis=-1).reshape(block * s, h)
+    ctx_ref[:] = ctx.reshape(block, s, h)
+    o = jax.lax.dot(
+        ctx, wo_ref[:], preferred_element_type=jnp.float32
+    ) + bo_ref[:].astype(jnp.float32)
+    if spec.hidden_dropout_rate > 0.0:
+        keep_h = _keep_mask(seed, 0, o.shape, spec.hidden_cutoff, spec.interpret)
+        inv_h = 1.0 / (1.0 - spec.hidden_dropout_rate)
+        o = jnp.where(keep_h, o * inv_h, 0.0)
+    z = o + x2d.astype(jnp.float32)
+    gamma = gamma_ref[:].astype(jnp.float32)
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + spec.eps)
+    zn = (z - mean) * inv
+    # ---- backward ----
+    dy = dy_ref[:].reshape(block * s, h).astype(jnp.float32)
+    _write_partial(dgamma_ref, jnp.sum(dy * zn, axis=0))
+    _write_partial(dbeta_ref, jnp.sum(dy, axis=0))
+    dz = _layer_norm_bwd(dy, zn, inv, gamma)
+    if spec.hidden_dropout_rate > 0.0:
+        do = jnp.where(keep_h, dz * inv_h, 0.0)
+    else:
+        do = dz
+    do16 = do.astype(x.dtype)
+    do_ref[:] = do16.reshape(block, s, h)
+    dctx = jax.lax.dot_general(
+        do16, wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(block, s, h)
+    for i in range(n):
+        q = qkv[..., i * dh : (i + 1) * dh]
+        k = qkv[..., h + i * dh : h + (i + 1) * dh]
+        v = qkv[..., 2 * h + i * dh : 2 * h + (i + 1) * dh]
+        dctx_h = dctx[..., i * dh : (i + 1) * dh].astype(x.dtype)
+        # dv = probs_dropped^T @ dctx_h   (contract query positions)
+        dv = jax.lax.dot_general(
+            probsd_list[i], dctx_h,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dprobs (pre-dropout) = dropout_bwd(dctx_h @ v^T)
+        dprobsd = jax.lax.dot_general(
+            dctx_h, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if keep_list[i] is not None:
+            dprobs = jnp.where(keep_list[i], dprobsd * inv_attn, 0.0)
+        else:
+            dprobs = dprobsd
+        probs = probs_list[i]
+        ds = (
+            probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+        ) * scale
+        ds16 = ds.astype(x.dtype)
+        dq = jax.lax.dot_general(
+            ds16, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dk = ds^T @ q (contract query positions of ds)
+        dk = jax.lax.dot_general(
+            ds16, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[..., i * dh : (i + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[..., h + i * dh : h + (i + 1) * dh] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[..., 2 * h + i * dh : 2 * h + (i + 1) * dh] = dv.astype(
+            dqkv_ref.dtype
+        )
+    dqkv = dqkv_ref[:].reshape(block * s, 3 * h)
+    dx = dz + jax.lax.dot_general(
+        dqkv, wqkv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[:] = dx.reshape(block, s, h).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attn_train(spec, x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias):
+    y, _ = _attn_train_fwd(spec, x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias)
+    return y
+
+
+def _attn_train_fwd(spec, x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias):
+    b, s, h = x.shape
+    block = min(spec.block_b, b)
+    n_blocks = _grid_check(b, block, "attention_block_train")
+    dt = x.dtype
+    wqkvc, woc = wqkv.astype(dt), wo.astype(dt)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        _block_spec(block, (s, h)),
+        _const_spec(wqkvc), _const_spec(bqkv), _const_spec(woc),
+        _const_spec(bo), _const_spec(gamma), _const_spec(beta),
+    ]
+    args = [seed, x, wqkvc, bqkv, woc, bo, gamma, beta]
+    if spec.has_bias:
+        in_specs.append(
+            pl.BlockSpec((block, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+    y = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, spec=spec),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=_block_spec(block, (s, h)),
+        out_shape=jax.ShapeDtypeStruct((b, s, h), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=spec.interpret,
+    )(*args)
+    return y, (x, wqkv, bqkv, wo, bo, gamma, seed, bias)
+
+
+def _attn_train_bwd(spec, res, dy):
+    x, wqkv, bqkv, wo, bo, gamma, seed, bias = res
+    b, s, h = x.shape
+    block = min(spec.block_b, b)
+    n_blocks = b // block
+    dt = x.dtype
+    wqkvc, woc = wqkv.astype(dt), wo.astype(dt)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        _block_spec(block, (s, h)),
+        _block_spec(block, (s, h)),
+        _const_spec(wqkvc), _const_spec(bqkv), _const_spec(woc),
+        _const_spec(bo), _const_spec(gamma),
+    ]
+    args = [seed, x, dy.astype(dt), wqkvc, bqkv, woc, bo, gamma]
+    if spec.has_bias:
+        in_specs.append(
+            pl.BlockSpec((block, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+    dx, dqkv, ctx, do, dgamma_p, dbeta_p = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, spec=spec),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            _block_spec(block, (s, h)),
+            _block_spec(block, (s, 3 * h)),
+            _block_spec(block, (s, h)),
+            _block_spec(block, (s, h)),
+            _partial_spec(h),
+            _partial_spec(h),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, h), dt),
+            jax.ShapeDtypeStruct((b, s, 3 * h), dt),
+            jax.ShapeDtypeStruct((b, s, h), dt),
+            jax.ShapeDtypeStruct((b, s, h), dt),
+            jax.ShapeDtypeStruct((n_blocks, 8, h), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 8, h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=spec.interpret,
+    )(*args)
+    rows = lambda t: t.reshape(-1, t.shape[-1])  # noqa: E731
+    dwqkv = jax.lax.dot_general(
+        rows(x), rows(dqkv), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbqkv = jnp.sum(rows(dqkv).astype(jnp.float32), axis=0)
+    dwo = jax.lax.dot_general(
+        rows(ctx), rows(do), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbo = jnp.sum(rows(do).astype(jnp.float32), axis=0)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    # bias is an additive attention mask derived from integer lengths; its
+    # cotangent dies at the int boundary upstream, so skip the per-head sum
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return (dx, dwqkv, dbqkv, dwo, dbo,
+            dgamma_p[:, 0, :].sum(0), dbeta_p[:, 0, :].sum(0), dseed, dbias)
+
+
+_attn_train.defvjp(_attn_train_fwd, _attn_train_bwd)
+
+
+def attention_block_train(
+    x: jax.Array,  # [B, S, H]
+    wqkv: jax.Array,  # [H, 3H] float32
+    bqkv: jax.Array,
+    wo: jax.Array,  # [H, H] float32
+    bo: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_heads: int,
+    seed: jax.Array,  # [1] int32
+    bias: jax.Array | None = None,  # compact key-mask rows [B, S] (additive)
+    attn_dropout_rate: float = 0.0,
+    hidden_dropout_rate: float = 0.0,
+    eps: float = 1e-12,
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable fused self-attention block with in-kernel dropout."""
+    spec = AttnTrainSpec(
+        num_heads=num_heads,
+        attn_dropout_rate=float(attn_dropout_rate),
+        hidden_dropout_rate=float(hidden_dropout_rate),
+        eps=eps, block_b=block_b, interpret=interpret,
+        has_bias=bias is not None,
+    )
+    return _attn_train(spec, x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias)
+
+
+# ==========================================================================
+# backend switch (mirrors ops/attention.py's backend selection)
+# ==========================================================================
+
+_TRAIN_FUSED: str = "auto"  # "auto" | "on" | "off" | "interpret"
+
+
+def set_train_fused(mode: str) -> None:
+    global _TRAIN_FUSED
+    assert mode in ("auto", "on", "off", "interpret"), mode
+    _TRAIN_FUSED = mode
+
+
+def train_fused_mode() -> str:
+    """Resolved mode: "on", "off" or "interpret" (test path on CPU)."""
+    import os
+
+    mode = os.environ.get("KMR_TRAIN_FUSED", _TRAIN_FUSED)
+    if mode == "auto":
+        return "on" if jax.default_backend() == "tpu" else "off"
+    return mode
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def train_fused(mode: str):
+    global _TRAIN_FUSED
+    prev = _TRAIN_FUSED
+    set_train_fused(mode)
+    try:
+        yield
+    finally:
+        _TRAIN_FUSED = prev
+
+
+def seed_from_key(rng: jax.Array) -> jax.Array:
+    """[1] int32 kernel seed from a jax PRNG key (free: reinterprets the
+    key's first word rather than running another threefry round)."""
+    data = jax.random.key_data(rng).reshape(-1)[:1]
+    return jax.lax.bitcast_convert_type(data, jnp.int32)

@@ -248,7 +248,14 @@ def cmd_grad(name: str, B: int, with_dropout: bool):
     batch = make_batch(name, spec.config, B, np.random.default_rng(0))
     batch.setdefault("labels", np.ones((B,), np.int32))
     batch = jax.device_put(batch)
-    rng = jax.random.key(1) if with_dropout else None
+    # KMR_RNG_IMPL=unsafe_rbg measures dropout with XLA's RngBitGenerator
+    # instead of threefry (impl propagates through in-model split/fold_in)
+    impl = os.environ.get("KMR_RNG_IMPL")
+    rng = (
+        (jax.random.key(1, impl=impl) if impl else jax.random.key(1))
+        if with_dropout
+        else None
+    )
 
     f = jax.jit(
         lambda p, b: jax.value_and_grad(loss_fn, has_aux=True)(p, b, rng)
