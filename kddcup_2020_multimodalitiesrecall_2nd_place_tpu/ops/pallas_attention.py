@@ -251,6 +251,124 @@ def _attn_block_no_bias(
     )
 
 
+def headpack_group(num_heads: int, s: int) -> int:
+    """Heads per pack: the largest divisor of num_heads with group*s <= 128
+    lanes (one packed score tile per softmax)."""
+    divisors = [d for d in range(num_heads, 0, -1) if num_heads % d == 0]
+    for d in divisors:
+        if d * s <= 128:
+            return d
+    return 1
+
+
+def packed_heads_attention(q_all, k_all, v_all, bias, num_heads, scale, dtype):
+    """Head-packed scores/softmax/PV over [block, F, H] q and [block, T, H] k/v.
+
+    Packs G heads' [F, T] score tiles into the lane dimension: K/V rows of
+    head j land in rows j*T..(j+1)*T and feature columns j*Dh..(j+1)*Dh of a
+    [block, G*T, G*Dh] operand, so one NT matmul yields the packed
+    [block, F, G*T] scores with no transposes. Softmax then runs on G*T
+    (<=128) lanes instead of T, and the per-segment denominator comes from
+    one [G*T, G*T] block-diagonal-ones matmul -- no relayouts anywhere.
+    The zero blocks waste (G-1)/G of the score/PV MACs, but those stages
+    are ~2%% of block FLOPs while the softmax lane occupancy (the measured
+    bottleneck at T<=32, docs/BENCH.md round 2) improves by ~G.
+    Returns the concatenated per-head context [block, F, H].
+    """
+    block, f, h = q_all.shape
+    t = k_all.shape[1]
+    n, dh = num_heads, h // num_heads
+    g = headpack_group(n, t)
+    ctx_parts = []
+    for g0 in range(0, n, g):
+        # packed K/V: [block, G*T, G*Dh], head j in row-block j / col-block j
+        krows, vrows = [], []
+        for j in range(g):
+            hj = g0 + j
+            kj = k_all[..., hj * dh : (hj + 1) * dh]
+            vj = v_all[..., hj * dh : (hj + 1) * dh]
+            left = jnp.zeros((block, t, j * dh), dtype)
+            right = jnp.zeros((block, t, (g - 1 - j) * dh), dtype)
+            krows.append(jnp.concatenate([left, kj, right], axis=2))
+            vrows.append(jnp.concatenate([left, vj, right], axis=2))
+        kpack = jnp.concatenate(krows, axis=1)
+        vpack = jnp.concatenate(vrows, axis=1)
+        q = q_all[..., g0 * dh : (g0 + g) * dh]  # [block, F, G*Dh]
+        scores = jax.lax.dot_general(
+            q, kpack, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [block, F, G*T]
+        if bias is not None:
+            # key-mask rows tiled across the G packed segments
+            scores = scores + jnp.concatenate([bias] * g, axis=-1)
+        # segmented softmax: global max is safe (exp <= 1 everywhere) and
+        # the per-segment denominator is one block-diag-ones matmul
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        seg_i = jax.lax.broadcasted_iota(jnp.int32, (g * t, g * t), 0) // t
+        seg_j = jax.lax.broadcasted_iota(jnp.int32, (g * t, g * t), 1) // t
+        ones_bd = (seg_i == seg_j).astype(jnp.float32)
+        denom = jax.lax.dot(
+            e.reshape(block * f, g * t), ones_bd,
+            preferred_element_type=jnp.float32,
+        ).reshape(block, f, g * t)
+        probs = (e / denom).astype(dtype)
+        ctx_parts.append(
+            jax.lax.dot_general(
+                probs, vpack, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)  # [block, F, G*Dh]
+        )
+    return jnp.concatenate(ctx_parts, axis=-1)
+
+
+def _attn_block_kernel_headpack(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, bias_ref,
+    o_ref, *, num_heads, eps,
+):
+    """Fused self-attention block with head-packed scores/softmax/PV."""
+    x = x_ref[:]
+    block, s, h = x.shape
+    dh = h // num_heads
+    scale = 1.0 / (dh**0.5)
+    x2d = x.reshape(block * s, h)
+    qkv = (
+        jax.lax.dot(x2d, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype).reshape(block, s, 3 * h)
+    bias = None
+    if bias_ref is not None:
+        b = bias_ref[:].astype(jnp.float32)
+        bias = b[:, None, :] if b.ndim == 2 else b
+    ctx = packed_heads_attention(
+        qkv[..., :h], qkv[..., h : 2 * h], qkv[..., 2 * h :],
+        bias, num_heads, scale, x.dtype,
+    )
+    o2d = (
+        jax.lax.dot(
+            ctx.reshape(block * s, h), wo_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[:].astype(jnp.float32)
+    )
+    y = o2d + x2d.astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[:] = y.reshape(block, s, h).astype(o_ref.dtype)
+
+
+def _attn_block_headpack_no_bias(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, o_ref,
+    *, num_heads, eps,
+):
+    _attn_block_kernel_headpack(
+        x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, None,
+        o_ref, num_heads=num_heads, eps=eps,
+    )
+
+
 def _attn_block_kernel_headmajor(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, gamma_ref, beta_ref, bias_ref,
     o_ref, *, num_heads, eps,
@@ -330,7 +448,7 @@ def attention_block_pallas(
     bias: jax.Array | None = None,  # [B, 1, 1 or S, S] additive
     eps: float = 1e-12,
     block_b: int | None = None,
-    variant: str = "loop",  # "loop" (per-head) | "headmajor" (batched)
+    variant: str = "loop",  # "loop" | "headmajor" (negative) | "headpack"
     interpret: bool = False,
 ) -> jax.Array:
     """The whole post-LN self-attention block in one VMEM-resident kernel.
@@ -378,17 +496,19 @@ def attention_block_pallas(
             bias_full = jnp.broadcast_to(bias, (b, 1, s, s)).reshape(b, s, s)
             in_specs.append(pl.BlockSpec((block, s, s), xi, memory_space=pltpu.VMEM))
             args.append(bias_full)
-        body = (
-            _attn_block_kernel_headmajor if variant == "headmajor"
-            else _attn_block_kernel
-        )
+        body = {
+            "headmajor": _attn_block_kernel_headmajor,
+            "headpack": _attn_block_kernel_headpack,
+        }.get(variant, _attn_block_kernel)
         kernel = functools.partial(
             _bias_last_adapter, body=body, num_heads=num_heads, eps=eps
         )
     else:
         kernel = functools.partial(
-            _attn_block_headmajor_no_bias if variant == "headmajor"
-            else _attn_block_no_bias,
+            {
+                "headmajor": _attn_block_headmajor_no_bias,
+                "headpack": _attn_block_headpack_no_bias,
+            }.get(variant, _attn_block_no_bias),
             num_heads=num_heads, eps=eps,
         )
 
@@ -488,6 +608,60 @@ def _cross_block_no_bias(
     )
 
 
+def _cross_block_kernel_headpack(
+    x_ref, ctx_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+    gamma_ref, beta_ref, bias_ref, o_ref, *, num_heads, eps,
+):
+    """Cross-attention block with head-packed scores/softmax/PV (the
+    [block, F, T<=23] score tiles otherwise idle >80%% of lanes)."""
+    x = x_ref[:]  # [BLOCK, F, H]
+    c = ctx_ref[:]  # [BLOCK, T, H]
+    block, f, h = x.shape
+    t = c.shape[1]
+    dh = h // num_heads
+    scale = 1.0 / (dh**0.5)
+    q2d = (
+        jax.lax.dot(x.reshape(block * f, h), wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[:].astype(jnp.float32)
+    ).astype(x.dtype)
+    kv2d = (
+        jax.lax.dot(c.reshape(block * t, h), wkv_ref[:], preferred_element_type=jnp.float32)
+        + bkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype)
+    q = q2d.reshape(block, f, h)
+    kv = kv2d.reshape(block, t, 2 * h)
+    bias = None
+    if bias_ref is not None:
+        b = bias_ref[:].astype(jnp.float32)
+        bias = b[:, None, :] if b.ndim == 2 else b
+    ctx_out = packed_heads_attention(
+        q, kv[..., :h], kv[..., h:], bias, num_heads, scale, x.dtype
+    )
+    o2d = (
+        jax.lax.dot(
+            ctx_out.reshape(block * f, h), wo_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[:].astype(jnp.float32)
+    )
+    y = o2d + x.reshape(block * f, h).astype(jnp.float32)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + eps)
+    y = y * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+    o_ref[:] = y.reshape(block, f, h).astype(o_ref.dtype)
+
+
+def _cross_block_headpack_no_bias(
+    x_ref, ctx_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+    gamma_ref, beta_ref, o_ref, *, num_heads, eps,
+):
+    _cross_block_kernel_headpack(
+        x_ref, ctx_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+        gamma_ref, beta_ref, None, o_ref, num_heads=num_heads, eps=eps,
+    )
+
+
 def cross_attention_block_pallas(
     x: jax.Array,  # [B, F, H]
     ctx: jax.Array,  # [B, T, H]
@@ -503,6 +677,7 @@ def cross_attention_block_pallas(
     bias: jax.Array | None = None,  # [B, 1, 1 or F, T] additive (ctx mask)
     eps: float = 1e-12,
     block_b: int | None = None,
+    variant: str = "loop",  # "loop" (per-head) | "headpack" (lane-packed)
     interpret: bool = False,
 ) -> jax.Array:
     """Whole cross-attention block (post-LN) in one kernel; F may differ
@@ -552,9 +727,17 @@ def cross_attention_block_pallas(
             bias_full = jnp.broadcast_to(bias, (b, 1, f, t)).reshape(b, f, t)
             in_specs.append(pl.BlockSpec((block, f, t), xi, memory_space=pltpu.VMEM))
             args.append(bias_full)
-        kernel = functools.partial(_cross_block_kernel, num_heads=num_heads, eps=eps)
+        kernel = functools.partial(
+            _cross_block_kernel_headpack if variant == "headpack"
+            else _cross_block_kernel,
+            num_heads=num_heads, eps=eps,
+        )
     else:
-        kernel = functools.partial(_cross_block_no_bias, num_heads=num_heads, eps=eps)
+        kernel = functools.partial(
+            _cross_block_headpack_no_bias if variant == "headpack"
+            else _cross_block_no_bias,
+            num_heads=num_heads, eps=eps,
+        )
 
     return pl.pallas_call(
         kernel,

@@ -332,7 +332,7 @@ def cmd_ffn(S: int, B: int):
             _emit(cmd="ffn", S=S, B=B, block=block, error=str(e)[:120])
 
 
-def cmd_cross(F: int, T: int, B: int):
+def cmd_cross(F: int, T: int, B: int, variant: str = "loop"):
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
         cross_attention_block_pallas,
     )
@@ -353,11 +353,13 @@ def cmd_cross(F: int, T: int, B: int):
         try:
             f = _looped(
                 lambda x, ctx, block=block: cross_attention_block_pallas(
-                    x, ctx, wq, bq, wkv, bkv, wo, bo, g, be, N, bias, block_b=block
+                    x, ctx, wq, bq, wkv, bkv, wo, bo, g, be, N, bias,
+                    block_b=block, variant=variant,
                 )
             )
             t = _time(f, x, ctx) / LOOP_N
-            _emit(cmd="cross", F=F, T=T, B=B, block=block, ms=round(t * 1e3, 3))
+            _emit(cmd="cross", F=F, T=T, B=B, block=block, variant=variant,
+                  ms=round(t * 1e3, 3))
         except Exception as e:  # noqa: BLE001
             _emit(cmd="cross", F=F, T=T, B=B, block=block, error=str(e)[:120])
 
@@ -410,10 +412,15 @@ def main():
         cmd_attn(int(a[0]), int(a[1]) if len(a) > 1 else 8192, with_bias=False)
     elif cmd == "attn_hm":
         cmd_attn(int(a[0]), int(a[1]) if len(a) > 1 else 8192, variant="headmajor")
+    elif cmd == "attn_hp":
+        cmd_attn(int(a[0]), int(a[1]) if len(a) > 1 else 8192, variant="headpack")
     elif cmd == "ffn":
         cmd_ffn(int(a[0]), int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "cross":
         cmd_cross(int(a[0]), int(a[1]), int(a[2]) if len(a) > 2 else 8192)
+    elif cmd == "cross_hp":
+        cmd_cross(int(a[0]), int(a[1]), int(a[2]) if len(a) > 2 else 8192,
+                  variant="headpack")
     else:
         raise SystemExit(f"unknown cmd {cmd}")
 

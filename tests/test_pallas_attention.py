@@ -106,7 +106,7 @@ def test_ffn_pallas_matches_reference(b, s, ffn_fold_enabled):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)), atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("variant", ["loop", "headmajor"])
+@pytest.mark.parametrize("variant", ["loop", "headmajor", "headpack"])
 @pytest.mark.parametrize("with_bias", [False, True])
 def test_fused_attention_block_matches_unfused(with_bias, variant):
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
@@ -170,8 +170,9 @@ def test_ffn_pallas_erf_gelu_matches():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)), atol=5e-5, rtol=1e-3)
 
 
+@pytest.mark.parametrize("variant", ["loop", "headpack"])
 @pytest.mark.parametrize("with_bias", [False, True])
-def test_fused_cross_attention_block_matches_unfused(with_bias):
+def test_fused_cross_attention_block_matches_unfused(with_bias, variant):
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
         BertConfig,
         Precision,
@@ -201,6 +202,19 @@ def test_fused_cross_attention_block_matches_unfused(with_bias):
         x, ctx, p["query"]["kernel"], p["query"]["bias"], wkv, bkv,
         p["output"]["dense"]["kernel"], p["output"]["dense"]["bias"],
         p["output"]["LayerNorm"]["gamma"], p["output"]["LayerNorm"]["beta"],
-        cfg.num_attention_heads, bias, block_b=2, interpret=True,
+        cfg.num_attention_heads, bias, block_b=2, variant=variant, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
+
+
+def test_headpack_group_selection():
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
+        headpack_group,
+    )
+
+    assert headpack_group(12, 32) == 4  # 4*32 = 128 exactly
+    assert headpack_group(12, 30) == 4
+    assert headpack_group(12, 40) == 3  # 3*40 = 120
+    assert headpack_group(12, 23) == 4  # 5 doesn't divide 12
+    assert headpack_group(12, 10) == 12  # all heads in one pack
+    assert headpack_group(12, 129) == 1

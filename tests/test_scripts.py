@@ -114,6 +114,30 @@ def test_submission_cli(data_dir, tmp_path):
     assert out.read_text().startswith("query-id,product1")
 
 
+def test_submission_cli_single_model(tmp_path):
+    """testA direct-submission flow: one score file -> top-5, no fusion
+    (run_pretraining_predict.py:585-598)."""
+    scores = tmp_path / "testA.txt"
+    scores.write_text(
+        "".join(
+            f"q1\tp{i}\t{0.1 * i:.2f}\n" for i in range(8)
+        )
+        + "q2\tp0\t0.9\nq2\tp1\t0.1\n"  # <5 products: emitted as-is, no fallback
+    )
+    out = tmp_path / "single.csv"
+    r = _run(["scripts/submission.py", "--single", str(scores), "--out", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("query-id,product1")
+    rows = {ln.split(",")[0]: ln.strip().split(",")[1:] for ln in lines[1:]}
+    assert rows["q1"] == ["p7", "p6", "p5", "p4", "p3"]
+    assert rows["q2"] == ["p0", "p1"]
+
+    # four-file mode still demands all four score files
+    r = _run(["scripts/submission.py", "--scores-b", str(scores), "--out", str(out)])
+    assert r.returncode != 0 and "missing" in r.stderr
+
+
 def test_train_cli(data_dir, tmp_path):
     out_dir = tmp_path / "run"
     r = _run(
