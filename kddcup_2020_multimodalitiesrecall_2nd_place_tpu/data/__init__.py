@@ -1,5 +1,6 @@
 from .featurize import Featurizer, pad_batch, stack_examples
 from .labels import QueryLabelIndex, load_multimodal_labels
+from .catalog import CatalogDataset, build_catalog, recall_at_k, recall_chunked
 from .packed import PackedDataset, write_packed_shards
 from .sampling import HardNegativeSampler, SamplerConfig
 from .pipeline import (
@@ -28,6 +29,7 @@ __all__ = [
     "MAX_LABEL_TOKENS",
     "MAX_QUERY_LEN_AB",
     "MAX_QUERY_LEN_L",
+    "CatalogDataset",
     "PackedDataset",
     "PipelineStats",
     "PrefetchIterator",
@@ -42,5 +44,8 @@ __all__ = [
     "parse_line",
     "rewrite_sen2forest",
     "stack_examples",
+    "build_catalog",
+    "recall_at_k",
+    "recall_chunked",
     "write_packed_shards",
 ]

@@ -1,0 +1,158 @@
+"""Memmapped product catalogs: the 3M-product retrieval data layer.
+
+The reference processed the full 3M-row train set with Python loops over
+in-RAM dicts (``imagebert_lds/src/train_split.py:11`` is the 3M regime;
+the scorers hold ``{qid: {pid: score}}`` tables in memory). For catalog-
+scale retrieval that layout caps out: 3M products' RoI features alone are
+~24 GB. This module stores the catalog the same way ``data/packed.py``
+stores training instances -- per-field ``.npy`` shards, memory-mapped at
+read time -- so both the recall stage (embeddings, ~0.8 GB bf16 at 3M x
+128) and the rerank stage (full per-product features) stream from disk with
+bounded RSS:
+
+* ``build_catalog``: drain a (product_id, embedding[, features]) stream
+  into shards; constant memory (one shard buffered at a time);
+* ``CatalogDataset``: memmapped reader; ``embedding_chunks()`` yields
+  [C, D] slabs for the device;
+* ``recall_chunked``: exact top-k over the memmapped catalog -- each chunk
+  is scored on-device (``top_k_products``) and merged into a running host
+  top-k, so device HBM holds one chunk and the host holds [Q, k].
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+from .packed import MANIFEST, PackedDataset, write_packed_shards
+
+__all__ = [
+    "build_catalog",
+    "CatalogDataset",
+    "recall_chunked",
+    "recall_at_k",
+]
+
+
+def build_catalog(
+    entries: Iterable[dict],
+    out_dir,
+    shard_size: int = 262_144,
+    embedding_dtype=np.float16,
+) -> dict:
+    """Stream ``{"product_id", "embedding", ...}`` dicts into packed shards.
+
+    Extra keys (e.g. the rerank features ``boxes/features/label_ids/
+    num_boxes``) are stored as additional fields; ``features`` is halved to
+    float16 by the underlying writer. Returns the manifest.
+    """
+
+    def cast(ex):
+        ex = dict(ex)
+        ex["embedding"] = np.asarray(ex["embedding"], embedding_dtype)
+        return ex
+
+    return write_packed_shards(
+        (cast(e) for e in entries), out_dir, shard_size=shard_size
+    )
+
+
+class CatalogDataset(PackedDataset):
+    """Memmapped catalog reader (a PackedDataset with embedding helpers)."""
+
+    @property
+    def dim(self) -> int:
+        return int(self.manifest["fields"]["embedding"]["shape"][0])
+
+    def product_ids(self) -> np.ndarray:
+        return np.concatenate([m["product_id"][:] for m in self._maps])
+
+    def embedding_chunks(self, chunk_rows: int = 262_144) -> Iterator[tuple[int, np.ndarray]]:
+        """Yield (global_start_row, [C, D] float32/float16 slab) in order.
+
+        Slabs are copies of at most ``chunk_rows`` rows (shards are split,
+        never concatenated, so peak memory is one slab + the mmap pages).
+        """
+        start = 0
+        for m in self._maps:
+            emb = m["embedding"]
+            for lo in range(0, emb.shape[0], chunk_rows):
+                slab = np.asarray(emb[lo : lo + chunk_rows])
+                yield start + lo, slab
+            start += emb.shape[0]
+
+    def rows(self, idx: np.ndarray) -> dict:
+        """Gather arbitrary global rows (the rerank stage's feature fetch)."""
+        bounds = np.cumsum([0] + list(self.shard_sizes))
+        out: dict[str, list] = {f: [] for f in self.fields}
+        flat = np.asarray(idx).reshape(-1)
+        for i in flat:
+            si = int(np.searchsorted(bounds, i, side="right") - 1)
+            local = int(i - bounds[si])
+            for f in self.fields:
+                out[f].append(self._maps[si][f][local])
+        batch = {f: np.stack(v, axis=0) for f, v in out.items()}
+        if "features" in batch and batch["features"].dtype != np.float32:
+            batch["features"] = batch["features"].astype(np.float32)
+        return batch
+
+
+def recall_chunked(
+    q_emb: np.ndarray,  # [Q, D] float32
+    catalog: CatalogDataset,
+    k: int = 5,
+    chunk_rows: int = 262_144,
+    device_top_k: Callable | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k MIPS over a memmapped catalog, one device chunk at a time.
+
+    Each [C, D] slab is scored on-device (``top_k_products`` on the default
+    backend unless ``device_top_k`` injects another scorer) and merged into
+    the host-side running top-k -- the device never holds more than one
+    chunk, the host never more than [Q, 2k]. Returns (scores, global idx).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if device_top_k is None:
+        from ..models.two_tower import top_k_products
+
+        def device_top_k(q, c, kk):
+            return top_k_products(q, c, k=kk, chunk=c.shape[0])
+
+    qd = jax.device_put(jnp.asarray(q_emb, jnp.float32))
+    q = q_emb.shape[0]
+    best_s = np.full((q, k), -np.inf, np.float32)
+    best_i = np.full((q, k), -1, np.int64)
+    for start, slab in catalog.embedding_chunks(chunk_rows):
+        kk = min(k, slab.shape[0])
+        s, i = device_top_k(qd, jnp.asarray(slab, jnp.bfloat16), kk)
+        s = np.asarray(s, np.float32)
+        i = np.asarray(i, np.int64) + start
+        merged_s = np.concatenate([best_s, s], axis=1)
+        merged_i = np.concatenate([best_i, i], axis=1)
+        top = np.argsort(-merged_s, axis=1, kind="stable")[:, :k]
+        best_s = np.take_along_axis(merged_s, top, axis=1)
+        best_i = np.take_along_axis(merged_i, top, axis=1)
+    return best_s, best_i
+
+
+def recall_at_k(
+    retrieved_ids: np.ndarray,  # [Q, K] product ids (−1 = empty)
+    truth: dict,  # query row -> set/list of relevant product ids
+    ks: Iterable[int],
+) -> dict[int, float]:
+    """Recall@K curve: fraction of relevant products inside the top-K."""
+    out = {}
+    for k in ks:
+        hits = total = 0
+        for row, rel in truth.items():
+            rel = {int(p) for p in rel}
+            if not rel:
+                continue
+            got = {int(p) for p in retrieved_ids[row, :k] if p >= 0}
+            hits += len(rel & got)
+            total += len(rel)
+        out[int(k)] = hits / max(total, 1)
+    return out

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Catalog-scale recall benchmark: 3M products, memmapped shards, chunked
+exact MIPS on one chip.
+
+Demonstrates the 3M-product regime the reference handled with Python loops
+(``imagebert_lds/src/train_split.py:11``) on the retrieval stage: a
+synthetic catalog of unit embeddings is streamed into packed shards
+(bounded RSS), each query is a noisy copy of one planted product, and
+``recall_chunked`` scores the full catalog one [chunk, D] slab at a time.
+Reports build/recall wall time, peak RSS, and the recall@K curve against
+the planted neighbors.
+
+  python scripts/bench_recall_3m.py --products 3000000 --queries 512 \
+      --out-dir /tmp/cat3m
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import resource
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--products", type=int, default=3_000_000)
+    ap.add_argument("--queries", type=int, default=512)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--noise", type=float, default=0.5,
+                    help="query = normalize(product + noise*gaussian)")
+    ap.add_argument("--ks", default="1,5,20,100,500")
+    ap.add_argument("--chunk-rows", type=int, default=262_144)
+    ap.add_argument("--shard-size", type=int, default=262_144)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
+        CatalogDataset,
+        build_catalog,
+        recall_at_k,
+        recall_chunked,
+    )
+
+    rss_mb = lambda: resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+    n, d = args.products, args.dim
+    rng = np.random.default_rng(args.seed)
+    planted_rows = rng.choice(n, size=args.queries, replace=False)
+    planted_set = {int(r) for r in planted_rows}
+
+    # ---- build: stream shard-sized slabs of unit vectors to disk ----------
+    t0 = time.perf_counter()
+    queries = np.zeros((args.queries, d), np.float32)
+
+    def entries():
+        row = 0
+        while row < n:
+            m = min(args.shard_size, n - row)
+            slab = rng.standard_normal((m, d)).astype(np.float32)
+            slab /= np.linalg.norm(slab, axis=1, keepdims=True)
+            for q_i, p_row in enumerate(planted_rows):
+                if row <= p_row < row + m:
+                    queries[q_i] = slab[p_row - row]
+            for j in range(m):
+                yield {"product_id": np.int64(row + j), "embedding": slab[j]}
+            row += m
+            if row % (args.shard_size * 4) == 0:
+                print(f"  built {row}/{n}", file=sys.stderr)
+
+    build_catalog(entries(), args.out_dir, shard_size=args.shard_size)
+    build_s = time.perf_counter() - t0
+    build_rss = rss_mb()
+
+    queries += args.noise * rng.standard_normal(queries.shape).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    # ---- recall: chunked exact MIPS over the memmap -----------------------
+    ds = CatalogDataset(args.out_dir)
+    assert len(ds) == n
+    ks = sorted(int(k) for k in args.ks.split(","))
+    t0 = time.perf_counter()
+    _, idx = recall_chunked(queries, ds, k=max(ks), chunk_rows=args.chunk_rows)
+    recall_s = time.perf_counter() - t0
+
+    retrieved = np.where(idx >= 0, idx, -1)  # product_id == row by construction
+    truth = {q_i: [int(planted_rows[q_i])] for q_i in range(args.queries)}
+    curve = recall_at_k(retrieved, truth, ks)
+
+    print(json.dumps({
+        "products": n,
+        "queries": args.queries,
+        "dim": d,
+        "noise": args.noise,
+        "build_s": round(build_s, 1),
+        "recall_s": round(recall_s, 1),
+        "scored_pairs_per_s": round(n * args.queries / recall_s),
+        "peak_rss_mb": round(rss_mb()),
+        "build_rss_mb": round(build_rss),
+        "recall_at_k": {str(k): round(v, 4) for k, v in curve.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,10 +18,14 @@ cascade output, so the K/quality trade-off is measurable.
       --cross-model imagebert_b --cross-checkpoint b.npz \
       --k-recall 50 --out cascade.csv --answers valid_answer.json
 
-Catalog product features are held in RAM for the rerank stage (~85 KB/row);
-at the full 3M-product scale shard the catalog TSV and run one cascade per
-shard, or memmap (data/fast_pipeline.py's native parser emits contiguous
-arrays suitable for that).
+This CLI holds catalog product features in RAM for the rerank stage
+(~85 KB/row), which is fine to ~100k products. At the full 3M-product
+scale use the memmapped catalog path instead: ``scripts/recall.py build
+--packed --store-features`` streams the catalog into per-field shards with
+bounded RSS, ``data/catalog.py:recall_chunked`` runs the exact recall one
+device chunk at a time, and ``CatalogDataset.rows`` gathers the rerank
+features for just the recalled candidates (``scripts/bench_recall_3m.py``
+demonstrates the 3M regime end to end; numbers in docs/BENCH.md).
 """
 
 from __future__ import annotations

@@ -16,6 +16,7 @@ through the axon tunnel -- see ROADMAP.md).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -293,6 +294,8 @@ def cmd_attn(S: int, B: int, with_bias: bool = True, variant: str = "loop"):
         else None
     )
     blocks = (8, 16, 24, 32, 48, 64) if S >= 20 else (16, 32, 64, 128, 256)
+    if os.environ.get("KMR_BLOCKS"):
+        blocks = tuple(int(b) for b in os.environ["KMR_BLOCKS"].split(","))
     for block in blocks:
         try:
             f = _looped(
@@ -349,7 +352,10 @@ def cmd_cross(F: int, T: int, B: int, variant: str = "loop"):
         -10000.0
         * (np.random.default_rng(7).random((B, 1, 1, T)) < 0.3).astype(np.float32)
     )
-    for block in (8, 16, 32, 64, 128):
+    blocks = (8, 16, 32, 64, 128)
+    if os.environ.get("KMR_BLOCKS"):
+        blocks = tuple(int(b) for b in os.environ["KMR_BLOCKS"].split(","))
+    for block in blocks:
         try:
             f = _looped(
                 lambda x, ctx, block=block: cross_attention_block_pallas(
