@@ -41,6 +41,16 @@ class ScoringStats:
         return self.pairs / self.seconds if self.seconds > 0 else 0.0
 
 
+import warnings
+
+# batch donation hands XLA the big f32 feature buffers for reuse; the int32
+# token-id leaves can never alias an f32 output, and jax warns about each.
+# That mixed-dtype donation is deliberate, so silence exactly that warning.
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable"
+)
+
+
 class ScoringEngine:
     """Compiled pairwise scorer for one model over a device mesh."""
 

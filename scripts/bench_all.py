@@ -68,6 +68,8 @@ def main() -> None:
     B = int(__import__("os").environ.get("BENCH_BATCH", "8192"))
     backend = "pallas_packed" if jax.default_backend() == "tpu" else "xla"
     rng = np.random.default_rng(0)
+    ensemble = "--ensemble" in sys.argv
+    total_dt = 0.0
     for name in ("imagebert_a", "imagebert_b", "imagebert_c", "lxmert"):
         spec = get_model(name)
         params = jax.jit(
@@ -88,7 +90,9 @@ def main() -> None:
             for _ in range(n_iters):
                 out = f(params, batch)
             float(jax.device_get(reduce(out)))
-            rate = n_iters * B / (time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            rate = n_iters * B / dt
+        total_dt += dt / n_iters
         print(
             json.dumps(
                 {
@@ -96,6 +100,22 @@ def main() -> None:
                     "pairs_per_sec_per_chip": round(rate, 1),
                     "batch": B,
                     "backend": backend,
+                }
+            ),
+            flush=True,
+        )
+    if ensemble:
+        # full ensemble = every pair scored by all four models (the
+        # reference's submission pipeline, code/main.py); first-class
+        # number instead of a derived prose figure (round-2 verdict #8)
+        print(
+            json.dumps(
+                {
+                    "model": "ensemble_4x",
+                    "ensemble_pairs_per_sec_per_chip": round(B / total_dt, 1),
+                    "batch": B,
+                    "backend": backend,
+                    "testB_device_seconds": round(29005 / (B / total_dt), 2),
                 }
             ),
             flush=True,
