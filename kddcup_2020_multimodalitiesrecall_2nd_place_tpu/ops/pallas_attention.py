@@ -261,6 +261,61 @@ def headpack_group(num_heads: int, s: int) -> int:
     return 1
 
 
+def pack_kv(k_all, v_all, g0: int, g: int, dh: int, dtype):
+    """Block-arranged K/V for heads g0..g0+g: head j's [T, Dh] slab lands in
+    rows j*T..(j+1)*T and feature columns j*Dh..(j+1)*Dh of a
+    [block, G*T, G*Dh] operand (zeros elsewhere), so NT/NN matmuls against
+    it compute all G heads at once with no transposes."""
+    block, t, _ = k_all.shape
+
+    def placed(slab, j):
+        # zero-width jnp.zeros operands fail Mosaic's broadcast lowering,
+        # so only emit the nonempty pads
+        parts = []
+        if j:
+            parts.append(jnp.zeros((block, t, j * dh), dtype))
+        parts.append(slab)
+        if g - 1 - j:
+            parts.append(jnp.zeros((block, t, (g - 1 - j) * dh), dtype))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+
+    krows = [
+        placed(k_all[..., (g0 + j) * dh : (g0 + j + 1) * dh], j) for j in range(g)
+    ]
+    vrows = [
+        placed(v_all[..., (g0 + j) * dh : (g0 + j + 1) * dh], j) for j in range(g)
+    ]
+    kpack = krows[0] if g == 1 else jnp.concatenate(krows, axis=1)
+    vpack = vrows[0] if g == 1 else jnp.concatenate(vrows, axis=1)
+    return kpack, vpack
+
+
+def segment_sums(x, g: int, t: int):
+    """Per-segment lane sums broadcast back to every lane of the segment:
+    one [G*T, G*T] block-diagonal-ones matmul, no relayouts."""
+    block, f, _ = x.shape
+    seg_i = jax.lax.broadcasted_iota(jnp.int32, (g * t, g * t), 0) // t
+    seg_j = jax.lax.broadcasted_iota(jnp.int32, (g * t, g * t), 1) // t
+    ones_bd = (seg_i == seg_j).astype(jnp.float32)
+    return jax.lax.dot(
+        x.reshape(block * f, g * t), ones_bd, preferred_element_type=jnp.float32
+    ).reshape(block, f, g * t)
+
+
+def packed_softmax(scores, g: int, t: int):
+    """Segmented softmax on [block, F, G*T] packed scores: the global max is
+    a safe stabiliser (exp <= 1 everywhere) and the per-segment denominator
+    comes from one block-diag-ones matmul."""
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e / segment_sums(e, g, t)
+
+
+def tile_bias(bias, g: int):
+    """Key-mask rows tiled across the G packed segments."""
+    return bias if g == 1 else jnp.concatenate([bias] * g, axis=-1)
+
+
 def packed_heads_attention(q_all, k_all, v_all, bias, num_heads, scale, dtype):
     """Head-packed scores/softmax/PV over [block, F, H] q and [block, T, H] k/v.
 
@@ -275,44 +330,21 @@ def packed_heads_attention(q_all, k_all, v_all, bias, num_heads, scale, dtype):
     bottleneck at T<=32, docs/BENCH.md round 2) improves by ~G.
     Returns the concatenated per-head context [block, F, H].
     """
-    block, f, h = q_all.shape
     t = k_all.shape[1]
+    h = q_all.shape[2]
     n, dh = num_heads, h // num_heads
     g = headpack_group(n, t)
     ctx_parts = []
     for g0 in range(0, n, g):
-        # packed K/V: [block, G*T, G*Dh], head j in row-block j / col-block j
-        krows, vrows = [], []
-        for j in range(g):
-            hj = g0 + j
-            kj = k_all[..., hj * dh : (hj + 1) * dh]
-            vj = v_all[..., hj * dh : (hj + 1) * dh]
-            left = jnp.zeros((block, t, j * dh), dtype)
-            right = jnp.zeros((block, t, (g - 1 - j) * dh), dtype)
-            krows.append(jnp.concatenate([left, kj, right], axis=2))
-            vrows.append(jnp.concatenate([left, vj, right], axis=2))
-        kpack = jnp.concatenate(krows, axis=1)
-        vpack = jnp.concatenate(vrows, axis=1)
+        kpack, vpack = pack_kv(k_all, v_all, g0, g, dh, dtype)
         q = q_all[..., g0 * dh : (g0 + g) * dh]  # [block, F, G*Dh]
         scores = jax.lax.dot_general(
             q, kpack, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # [block, F, G*T]
         if bias is not None:
-            # key-mask rows tiled across the G packed segments
-            scores = scores + jnp.concatenate([bias] * g, axis=-1)
-        # segmented softmax: global max is safe (exp <= 1 everywhere) and
-        # the per-segment denominator is one block-diag-ones matmul
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        seg_i = jax.lax.broadcasted_iota(jnp.int32, (g * t, g * t), 0) // t
-        seg_j = jax.lax.broadcasted_iota(jnp.int32, (g * t, g * t), 1) // t
-        ones_bd = (seg_i == seg_j).astype(jnp.float32)
-        denom = jax.lax.dot(
-            e.reshape(block * f, g * t), ones_bd,
-            preferred_element_type=jnp.float32,
-        ).reshape(block, f, g * t)
-        probs = (e / denom).astype(dtype)
+            scores = scores + tile_bias(bias, g)
+        probs = packed_softmax(scores, g, t).astype(dtype)
         ctx_parts.append(
             jax.lax.dot_general(
                 probs, vpack, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -448,18 +480,26 @@ def attention_block_pallas(
     bias: jax.Array | None = None,  # [B, 1, 1 or S, S] additive
     eps: float = 1e-12,
     block_b: int | None = None,
-    variant: str = "loop",  # "loop" | "headmajor" (negative) | "headpack"
+    variant: str = "auto",  # "auto" | "loop" | "headmajor" (negative) | "headpack"
     interpret: bool = False,
 ) -> jax.Array:
     """The whole post-LN self-attention block in one VMEM-resident kernel.
 
+    variant="auto" resolves to the head-packed scores/softmax/PV whenever
+    more than one head fits the 128-lane tile -- measured on v5e at B=2048
+    it beats the per-head loop at every model shape (S=32: 2.85 -> 2.33 ms,
+    S=30: 4.30 -> 3.73, S=10: 1.77 -> 1.51) and ties at S=23 (2.24 -> 2.23).
+
     Default block_b measured on v5e (B=2048 sweeps): 32 up to S=24 (S=23:
     2.43 -> 2.24 ms; S=10: +8% vs 16), 16 above (block 24+ at S>=30
     overflows the scoped-vmem limit: the qkv slab is [block, S, 3H]
-    f32-accumulated; 64 at S=10 ties the sweep but OOMs in-model)."""
+    f32-accumulated; 64 at S=10 ties the sweep but OOMs in-model). The
+    headpack sweep prefers 32 across shapes."""
     b, s, h = x.shape
+    if variant == "auto":
+        variant = "headpack" if headpack_group(num_heads, s) > 1 else "loop"
     if block_b is None:
-        block_b = 32 if s <= 24 else 16
+        block_b = 32 if (s <= 24 or variant == "headpack") else 16
     block = min(block_b, b)
     grid = (pl.cdiv(b, block),)
     dtype = x.dtype
@@ -677,16 +717,21 @@ def cross_attention_block_pallas(
     bias: jax.Array | None = None,  # [B, 1, 1 or F, T] additive (ctx mask)
     eps: float = 1e-12,
     block_b: int | None = None,
-    variant: str = "loop",  # "loop" (per-head) | "headpack" (lane-packed)
+    variant: str = "auto",  # "auto" | "loop" (per-head) | "headpack"
     interpret: bool = False,
 ) -> jax.Array:
     """Whole cross-attention block (post-LN) in one kernel; F may differ
     from T (LXMERT lang<->visn cross attention).
 
+    variant="auto" packs heads along lanes when more than one fits
+    (23<-10 on v5e: 2.17 -> 2.09 ms at B=2048).
+
     Default block_b = 32: measured best on v5e for both 23->10 and 10->23
     (2.44 -> 2.17 ms and 2.01 -> 1.73 ms at B=2048; 64 overflows VMEM)."""
     b, f, h = x.shape
     t = ctx.shape[1]
+    if variant == "auto":
+        variant = "headpack" if headpack_group(num_heads, t) > 1 else "loop"
     if block_b is None:
         block_b = 32
     block = min(block_b, b)

@@ -406,6 +406,7 @@ class AttnTrainSpec:
     block_b: int
     interpret: bool
     has_bias: bool
+    headpack: bool = False
 
     @property
     def attn_cutoff(self) -> int:
@@ -414,6 +415,68 @@ class AttnTrainSpec:
     @property
     def hidden_cutoff(self) -> int:
         return dropout_cutoff(self.hidden_dropout_rate)
+
+
+def _group_mask(spec, seed, g0: int, g: int, shape_ss):
+    """Lane-concatenated per-head keep-masks for one packed group.
+
+    Draw order/shapes are IDENTICAL to the per-head variant (draw 1+head of
+    [block, S, S]), so the hardware stream and the interpret hash both
+    produce the same masks regardless of packing -- the pure-jnp reference
+    in the tests covers both variants unchanged."""
+    masks = [
+        _keep_mask(seed, 1 + g0 + j, shape_ss, spec.attn_cutoff, spec.interpret)
+        for j in range(g)
+    ]
+    return masks[0] if g == 1 else jnp.concatenate(masks, axis=-1)
+
+
+def _attn_recompute_packed(spec, seed, qkv, bias, out_dtype):
+    """Head-packed recompute shared by fwd/bwd: per packed group, the
+    undropped packed probs [block, S, G*S] (float32), the packed keep mask
+    (or None) and the context slab [block, S, G*Dh].
+
+    Packing rationale + helpers: ops/pallas_attention.py (the [S, S] score
+    tiles keep <=S of 128 lanes busy in the per-head variant)."""
+    from .pallas_attention import (
+        headpack_group,
+        pack_kv,
+        packed_softmax,
+        tile_bias,
+    )
+
+    block, s, h3 = qkv.shape
+    h = h3 // 3
+    n, dh = spec.num_heads, h // spec.num_heads
+    g = headpack_group(n, s)
+    scale = 1.0 / (dh**0.5)
+    inv_attn = 1.0 / (1.0 - spec.attn_dropout_rate)
+    k_all = qkv[..., h : 2 * h]
+    v_all = qkv[..., 2 * h :]
+    groups = []
+    for g0 in range(0, n, g):
+        kpack, vpack = pack_kv(k_all, v_all, g0, g, dh, out_dtype)
+        q = qkv[..., g0 * dh : (g0 + g) * dh]
+        scores = jax.lax.dot_general(
+            q, kpack, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias is not None:
+            scores = scores + tile_bias(bias, g)
+        probs = packed_softmax(scores, g, s)
+        mask = None
+        if spec.attn_dropout_rate > 0.0:
+            mask = _group_mask(spec, seed, g0, g, (block, s, s))
+            probsd = jnp.where(mask, probs * inv_attn, 0.0)
+        else:
+            probsd = probs
+        ctx_part = jax.lax.dot_general(
+            probsd.astype(out_dtype), vpack,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
+        groups.append((g0, g, probs, mask, ctx_part))
+    return groups, (n, dh, g, scale, inv_attn)
 
 
 def _attn_recompute_heads(spec, seed, qkv, bias):
@@ -469,22 +532,28 @@ def _attn_fwd_kernel(
     if bias_ref is not None:
         # compact key-mask rows [BLOCK, S] broadcast over query positions
         bias = bias_ref[:].astype(jnp.float32)[:, None, :]
-    probs_list, keep_list = _attn_recompute_heads(spec, seed, qkv, bias)
-    inv_attn = 1.0 / (1.0 - spec.attn_dropout_rate)
-    head_outs = []
-    for i in range(n):
-        probs = probs_list[i]
-        if keep_list[i] is not None:
-            probs = jnp.where(keep_list[i], probs * inv_attn, 0.0)
-        v = qkv[..., 2 * h + i * dh : 2 * h + (i + 1) * dh]
-        head_outs.append(
-            jax.lax.dot_general(
-                probs.astype(x.dtype), v,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-        )
-    ctx = jnp.concatenate(head_outs, axis=-1).reshape(block * s, h)
+    if spec.headpack:
+        groups, _ = _attn_recompute_packed(spec, seed, qkv, bias, x.dtype)
+        parts = [ctx_part for _, _, _, _, ctx_part in groups]
+        ctx = (parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1))
+        ctx = ctx.reshape(block * s, h)
+    else:
+        probs_list, keep_list = _attn_recompute_heads(spec, seed, qkv, bias)
+        inv_attn = 1.0 / (1.0 - spec.attn_dropout_rate)
+        head_outs = []
+        for i in range(n):
+            probs = probs_list[i]
+            if keep_list[i] is not None:
+                probs = jnp.where(keep_list[i], probs * inv_attn, 0.0)
+            v = qkv[..., 2 * h + i * dh : 2 * h + (i + 1) * dh]
+            head_outs.append(
+                jax.lax.dot_general(
+                    probs.astype(x.dtype), v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+        ctx = jnp.concatenate(head_outs, axis=-1).reshape(block * s, h)
     o = jax.lax.dot(
         ctx, wo_ref[:], preferred_element_type=jnp.float32
     ) + bo_ref[:].astype(jnp.float32)
@@ -497,6 +566,64 @@ def _attn_fwd_kernel(
         spec.eps,
     )
     y_ref[:] = y.reshape(block, s, h).astype(y_ref.dtype)
+
+
+def _attn_bwd_grads_packed(
+    spec, qkv, dctx, groups, dqkv_ref, dtype, scale, inv_attn
+):
+    """Head-packed attention gradients: all per-head matmuls become one
+    packed matmul per group, with softmax-backward's per-segment sums from
+    the same block-diag-ones trick as the forward. dk/dv come out of a
+    [G*S, G*Dh] product whose DIAGONAL blocks are the true per-head grads
+    (the off-diagonal cross-head blocks are the packing's (G-1)/G MAC waste,
+    sliced away); dq and dprobs are exact because K/V packs are
+    block-diagonal."""
+    from .pallas_attention import pack_kv, segment_sums
+
+    block, s, h3 = qkv.shape
+    h = h3 // 3
+    dh = h // spec.num_heads
+    k_all = qkv[..., h : 2 * h]
+    v_all = qkv[..., 2 * h :]
+    for g0, g, probs, mask, _ctx_part in groups:
+        kpack, vpack = pack_kv(k_all, v_all, g0, g, dh, dtype)
+        q_g = qkv[..., g0 * dh : (g0 + g) * dh]
+        dctx_g = dctx[..., g0 * dh : (g0 + g) * dh].astype(dtype)
+        probsd = jnp.where(mask, probs * inv_attn, 0.0) if mask is not None else probs
+        probsd16 = probsd.astype(dtype)
+        # dv-pack [block, G*S, G*Dh]: diag blocks = probsd_j^T @ dctx_j
+        dvpack = jax.lax.dot_general(
+            probsd16, dctx_g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # exact: vpack is block-diagonal, so segment j picks dctx_j @ v_j^T
+        dprobsd = jax.lax.dot_general(
+            dctx_g, vpack, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dprobs = (
+            jnp.where(mask, dprobsd * inv_attn, 0.0) if mask is not None else dprobsd
+        )
+        rowseg = segment_sums(dprobs * probs, g, s)
+        ds = probs * (dprobs - rowseg) * scale
+        ds16 = ds.astype(dtype)
+        dq_g = jax.lax.dot_general(
+            ds16, kpack, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dkpack = jax.lax.dot_general(
+            ds16, q_g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[..., g0 * dh : (g0 + g) * dh] = dq_g.astype(dqkv_ref.dtype)
+        for j in range(g):
+            hj = g0 + j
+            dqkv_ref[..., h + hj * dh : h + (hj + 1) * dh] = dkpack[
+                :, j * s : (j + 1) * s, j * dh : (j + 1) * dh
+            ].astype(dqkv_ref.dtype)
+            dqkv_ref[..., 2 * h + hj * dh : 2 * h + (hj + 1) * dh] = dvpack[
+                :, j * s : (j + 1) * s, j * dh : (j + 1) * dh
+            ].astype(dqkv_ref.dtype)
 
 
 def _attn_bwd_kernel(
@@ -523,25 +650,31 @@ def _attn_bwd_kernel(
     bias = None
     if bias_ref is not None:
         bias = bias_ref[:].astype(jnp.float32)[:, None, :]
-    probs_list, keep_list = _attn_recompute_heads(spec, seed, qkv, bias)
     inv_attn = 1.0 / (1.0 - spec.attn_dropout_rate)
-    head_outs, probsd_list = [], []
-    for i in range(n):
-        probs = probs_list[i]
-        if keep_list[i] is not None:
-            probsd = jnp.where(keep_list[i], probs * inv_attn, 0.0)
-        else:
-            probsd = probs
-        probsd16 = probsd.astype(x.dtype)
-        probsd_list.append(probsd16)
-        v = qkv[..., 2 * h + i * dh : 2 * h + (i + 1) * dh]
-        head_outs.append(
-            jax.lax.dot_general(
-                probsd16, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-        )
-    ctx = jnp.concatenate(head_outs, axis=-1).reshape(block * s, h)
+    if spec.headpack:
+        groups, _ = _attn_recompute_packed(spec, seed, qkv, bias, x.dtype)
+        parts = [ctx_part for _, _, _, _, ctx_part in groups]
+        ctx = (parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1))
+        ctx = ctx.reshape(block * s, h)
+    else:
+        probs_list, keep_list = _attn_recompute_heads(spec, seed, qkv, bias)
+        head_outs, probsd_list = [], []
+        for i in range(n):
+            probs = probs_list[i]
+            if keep_list[i] is not None:
+                probsd = jnp.where(keep_list[i], probs * inv_attn, 0.0)
+            else:
+                probsd = probs
+            probsd16 = probsd.astype(x.dtype)
+            probsd_list.append(probsd16)
+            v = qkv[..., 2 * h + i * dh : 2 * h + (i + 1) * dh]
+            head_outs.append(
+                jax.lax.dot_general(
+                    probsd16, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+        ctx = jnp.concatenate(head_outs, axis=-1).reshape(block * s, h)
     ctx_ref[:] = ctx.reshape(block, s, h)
     o = jax.lax.dot(
         ctx, wo_ref[:], preferred_element_type=jnp.float32
@@ -571,6 +704,17 @@ def _attn_bwd_kernel(
         do16, wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(block, s, h)
+    if spec.headpack:
+        _attn_bwd_grads_packed(
+            spec, qkv, dctx, groups, dqkv_ref, x.dtype, scale, inv_attn
+        )
+        dqkv = dqkv_ref[:].reshape(block * s, 3 * h)
+        dx = dz + jax.lax.dot_general(
+            dqkv, wqkv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx_ref[:] = dx.reshape(block, s, h).astype(dx_ref.dtype)
+        return
     for i in range(n):
         q = qkv[..., i * dh : (i + 1) * dh]
         k = qkv[..., h + i * dh : h + (i + 1) * dh]
@@ -741,14 +885,25 @@ def attention_block_train(
     eps: float = 1e-12,
     block_b: int = 8,
     interpret: bool = False,
+    headpack: bool | None = None,
 ) -> jax.Array:
-    """Differentiable fused self-attention block with in-kernel dropout."""
+    """Differentiable fused self-attention block with in-kernel dropout.
+
+    ``headpack=None`` packs heads into the 128-lane score tile whenever more
+    than one fits (ops/pallas_attention.py) -- dropout masks are drawn with
+    the same per-head order/shapes either way, so the two variants train
+    bit-identically given the same seed."""
+    if headpack is None:
+        from .pallas_attention import headpack_group
+
+        headpack = headpack_group(num_heads, x.shape[1]) > 1
     spec = AttnTrainSpec(
         num_heads=num_heads,
         attn_dropout_rate=float(attn_dropout_rate),
         hidden_dropout_rate=float(hidden_dropout_rate),
         eps=eps, block_b=block_b, interpret=interpret,
         has_bias=bias is not None,
+        headpack=headpack,
     )
     return _attn_train(spec, x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias)
 

@@ -134,23 +134,25 @@ def test_ffn_train_grads_match_reference(ffn_args, rate):
         )
 
 
+@pytest.mark.parametrize("headpack", [False, True])
 @pytest.mark.parametrize("rates", [(0.0, 0.0), (0.2, 0.1)])
 @pytest.mark.parametrize("with_bias", [False, True])
-def test_attn_train_fwd_matches_reference(attn_args, rates, with_bias):
+def test_attn_train_fwd_matches_reference(attn_args, rates, with_bias, headpack):
     x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias = attn_args
     arate, hrate = rates
     b = bias if with_bias else None
     got = attention_block_train(
         x, wqkv, bqkv, wo, bo, gamma, beta, N, seed, bias=b,
         attn_dropout_rate=arate, hidden_dropout_rate=hrate,
-        block_b=B, interpret=True,
+        block_b=B, interpret=True, headpack=headpack,
     )
     want = ref_attn(x, wqkv, bqkv, wo, bo, gamma, beta, seed, arate, hrate, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.parametrize("headpack", [False, True])
 @pytest.mark.parametrize("rates", [(0.0, 0.0), (0.2, 0.1)])
-def test_attn_train_grads_match_reference(attn_args, rates):
+def test_attn_train_grads_match_reference(attn_args, rates, headpack):
     x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias = attn_args
     arate, hrate = rates
     cvec = jnp.asarray(
@@ -161,7 +163,7 @@ def test_attn_train_grads_match_reference(attn_args, rates):
         y = attention_block_train(
             x, wqkv, bqkv, wo, bo, gamma, beta, N, seed, bias=bias,
             attn_dropout_rate=arate, hidden_dropout_rate=hrate,
-            block_b=B, interpret=True,
+            block_b=B, interpret=True, headpack=headpack,
         )
         return jnp.sum(y * cvec)
 
