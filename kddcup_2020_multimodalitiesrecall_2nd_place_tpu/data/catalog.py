@@ -118,8 +118,12 @@ def recall_chunked(
     if device_top_k is None:
         from ..models.two_tower import top_k_products
 
+        # one jit per (chunk shape, k): eager ops would otherwise compile
+        # per primitive (catastrophic on remote-compile rigs)
+        scorer = jax.jit(top_k_products, static_argnames=("k", "chunk"))
+
         def device_top_k(q, c, kk):
-            return top_k_products(q, c, k=kk, chunk=c.shape[0])
+            return scorer(q, c, k=kk, chunk=c.shape[0])
 
     qd = jax.device_put(jnp.asarray(q_emb, jnp.float32))
     q = q_emb.shape[0]

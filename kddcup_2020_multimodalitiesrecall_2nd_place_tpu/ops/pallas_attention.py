@@ -493,13 +493,13 @@ def attention_block_pallas(
     Default block_b measured on v5e (B=2048 sweeps): 32 up to S=24 (S=23:
     2.43 -> 2.24 ms; S=10: +8% vs 16), 16 above (block 24+ at S>=30
     overflows the scoped-vmem limit: the qkv slab is [block, S, 3H]
-    f32-accumulated; 64 at S=10 ties the sweep but OOMs in-model). The
-    headpack sweep prefers 32 across shapes."""
+    f32-accumulated; 64 at S=10 ties the sweep but OOMs in-model; headpack
+    at S=40 block 32 also overflows -- 16 is within noise of 32 at S<=32)."""
     b, s, h = x.shape
     if variant == "auto":
         variant = "headpack" if headpack_group(num_heads, s) > 1 else "loop"
     if block_b is None:
-        block_b = 32 if (s <= 24 or variant == "headpack") else 16
+        block_b = 32 if s <= 24 else 16
     block = min(block_b, b)
     grid = (pl.cdiv(b, block),)
     dtype = x.dtype

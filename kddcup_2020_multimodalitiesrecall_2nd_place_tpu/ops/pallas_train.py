@@ -423,12 +423,18 @@ def _group_mask(spec, seed, g0: int, g: int, shape_ss):
     Draw order/shapes are IDENTICAL to the per-head variant (draw 1+head of
     [block, S, S]), so the hardware stream and the interpret hash both
     produce the same masks regardless of packing -- the pure-jnp reference
-    in the tests covers both variants unchanged."""
-    masks = [
-        _keep_mask(seed, 1 + g0 + j, shape_ss, spec.attn_cutoff, spec.interpret)
-        for j in range(g)
-    ]
-    return masks[0] if g == 1 else jnp.concatenate(masks, axis=-1)
+    in the tests covers both variants unchanged. The uint32 bits are
+    concatenated BEFORE the cutoff compare: Mosaic rejects concatenation of
+    i1 vectors ("invalid vector register cast")."""
+
+    def draw_bits(j):
+        if spec.interpret:
+            return _hash_bits(seed, 1 + g0 + j, shape_ss)
+        return pltpu.bitcast(pltpu.prng_random_bits(shape_ss), jnp.uint32)
+
+    bits = [draw_bits(j) for j in range(g)]
+    packed = bits[0] if g == 1 else jnp.concatenate(bits, axis=-1)
+    return packed >= jnp.uint32(spec.attn_cutoff)
 
 
 def _attn_recompute_packed(spec, seed, qkv, bias, out_dtype):
@@ -889,14 +895,19 @@ def attention_block_train(
 ) -> jax.Array:
     """Differentiable fused self-attention block with in-kernel dropout.
 
-    ``headpack=None`` packs heads into the 128-lane score tile whenever more
-    than one fits (ops/pallas_attention.py) -- dropout masks are drawn with
-    the same per-head order/shapes either way, so the two variants train
-    bit-identically given the same seed."""
+    ``headpack=True`` packs heads into the 128-lane score tile
+    (ops/pallas_attention.py) in both the forward and the backward head
+    math -- dropout masks are drawn with the same per-head order/shapes
+    either way, so the two variants train bit-identically given the same
+    seed. Default OFF (KMR_TRAIN_HEADPACK=1 overrides): measured on v5e the
+    packed TRAIN step is ~5% slower at S=40 (A: 4,096 -> 3,876 pairs/s at
+    B=1024) -- the backward's dk/dv packed products pay the (G-1)/G MAC
+    waste twice and the packs are rebuilt in the grads pass, which outweighs
+    the softmax-lane win that makes packing profitable at inference."""
     if headpack is None:
-        from .pallas_attention import headpack_group
+        import os
 
-        headpack = headpack_group(num_heads, x.shape[1]) > 1
+        headpack = os.environ.get("KMR_TRAIN_HEADPACK") == "1"
     spec = AttnTrainSpec(
         num_heads=num_heads,
         attn_dropout_rate=float(attn_dropout_rate),

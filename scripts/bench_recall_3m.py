@@ -44,7 +44,6 @@ def main() -> None:
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
         CatalogDataset,
-        build_catalog,
         recall_at_k,
         recall_chunked,
     )
@@ -54,28 +53,46 @@ def main() -> None:
     n, d = args.products, args.dim
     rng = np.random.default_rng(args.seed)
     planted_rows = rng.choice(n, size=args.queries, replace=False)
-    planted_set = {int(r) for r in planted_rows}
 
     # ---- build: stream shard-sized slabs of unit vectors to disk ----------
+    # Writes the packed-shard format directly one whole slab at a time: a
+    # per-row generator through write_packed_shards costs ~10 us/row of
+    # python overhead, which at 3M rows blows the wall-clock budget on a
+    # single-core host. Bulk np.save of the same files is ~100x faster.
     t0 = time.perf_counter()
     queries = np.zeros((args.queries, d), np.float32)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    shard_sizes = []
+    row = 0
+    while row < n:
+        m = min(args.shard_size, n - row)
+        slab = rng.standard_normal((m, d)).astype(np.float32)
+        slab /= np.linalg.norm(slab, axis=1, keepdims=True)
+        hit = (planted_rows >= row) & (planted_rows < row + m)
+        queries[hit] = slab[planted_rows[hit] - row]
+        i = len(shard_sizes)
+        np.save(out / f"shard_{i:05d}.embedding.npy", slab.astype(np.float16))
+        np.save(
+            out / f"shard_{i:05d}.product_id.npy",
+            np.arange(row, row + m, dtype=np.int64),
+        )
+        shard_sizes.append(m)
+        row += m
+        if len(shard_sizes) % 4 == 0:
+            print(f"  built {row}/{n}", file=sys.stderr)
+    import json as _json
 
-    def entries():
-        row = 0
-        while row < n:
-            m = min(args.shard_size, n - row)
-            slab = rng.standard_normal((m, d)).astype(np.float32)
-            slab /= np.linalg.norm(slab, axis=1, keepdims=True)
-            for q_i, p_row in enumerate(planted_rows):
-                if row <= p_row < row + m:
-                    queries[q_i] = slab[p_row - row]
-            for j in range(m):
-                yield {"product_id": np.int64(row + j), "embedding": slab[j]}
-            row += m
-            if row % (args.shard_size * 4) == 0:
-                print(f"  built {row}/{n}", file=sys.stderr)
-
-    build_catalog(entries(), args.out_dir, shard_size=args.shard_size)
+    (out / "manifest.json").write_text(_json.dumps({
+        "version": 1,
+        "num_instances": n,
+        "shard_sizes": shard_sizes,
+        "fields": {
+            "embedding": {"dtype": "float16", "shape": [d]},
+            "product_id": {"dtype": "int64", "shape": []},
+        },
+        "feature_dtype": None,
+    }, indent=1))
     build_s = time.perf_counter() - t0
     build_rss = rss_mb()
 
