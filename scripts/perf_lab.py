@@ -275,7 +275,7 @@ def cmd_grad(name: str, B: int, with_dropout: bool):
           ms=round(t * 1e3, 2))
 
 
-def cmd_int8(M: int = 8192, K: int = 768, N: int = 3072):
+def cmd_int8(M: int = 8192, K: int = 2048, N: int = 2048):
     """int8 vs bf16 MXU rate, committed and re-runnable (round-2 verdict
     weak #3: the "int8 runs at bf16 rate on this chip/driver" claim that
     caps the 50k-pairs/s north star existed only as prose). Times one
@@ -286,6 +286,7 @@ def cmd_int8(M: int = 8192, K: int = 768, N: int = 3072):
         quantize_kernel,
     )
 
+    assert N >= K, "N >= K required (the loop body slices [M,N] back to [M,K])"
     flops = 2.0 * M * K * N
 
     def time_mm(dtype_name, a, b):
