@@ -251,6 +251,13 @@ def apply(
     lang, _ = _scan_stack(enc["layer"], lang_layer, (lang.astype(prec.compute_dtype), l_rng))
     visn, _ = _scan_stack(enc["r_layers"], visn_layer, (visn.astype(prec.compute_dtype), r_rng))
 
+    # Measured NEGATIVE (v5e, B=8192): merging the two shared-weight cross
+    # directions into one self-attention over the concatenated 33-row
+    # stream with a block mask (identical math: modeling.py:460-464 shares
+    # Q/K/V/output weights, LN is rowwise) scored 17.5k vs 18.3k pairs/s --
+    # the per-layer concat+split copies the full [B, 33, H] stream twice
+    # (~0.8 GB of HBM traffic per x-layer at B=8192), which outweighs the
+    # saved launch + merged matmuls. Streams therefore stay separate.
     def x_layer(carry, lp):
         l, v, r = carry
         if r is not None:
