@@ -1,6 +1,12 @@
 from .featurize import Featurizer, pad_batch, stack_examples
 from .labels import QueryLabelIndex, load_multimodal_labels
-from .catalog import CatalogDataset, build_catalog, recall_at_k, recall_chunked
+from .catalog import (
+    CatalogDataset,
+    build_catalog,
+    recall_at_k,
+    recall_chunked,
+    rerank_batch,
+)
 from .packed import PackedDataset, write_packed_shards
 from .sampling import HardNegativeSampler, SamplerConfig
 from .pipeline import (
@@ -47,5 +53,6 @@ __all__ = [
     "build_catalog",
     "recall_at_k",
     "recall_chunked",
+    "rerank_batch",
     "write_packed_shards",
 ]

@@ -32,6 +32,7 @@ __all__ = [
     "CatalogDataset",
     "recall_chunked",
     "recall_at_k",
+    "rerank_batch",
 ]
 
 
@@ -140,6 +141,103 @@ def recall_chunked(
         best_s = np.take_along_axis(merged_s, top, axis=1)
         best_i = np.take_along_axis(merged_i, top, axis=1)
     return best_s, best_i
+
+
+def rerank_batch(
+    model_name: str,
+    q_ids_list: list,  # per pair: untruncated [CLS]+pieces+[SEP] id list
+    query_ids: np.ndarray,  # [B] int64
+    rows: dict,  # CatalogDataset.rows() gather for the same B pairs
+) -> dict:
+    """Assemble a cross-encoder batch from tokenized queries + catalog rows.
+
+    The memmap-backed half of the cascade's rerank stage: the product side
+    comes straight out of the packed catalog (``recall.py build --packed
+    --store-features`` stores the ImageBERT-B featurized fields: boxes [10,5],
+    features [10,2048], label_ids [10,8], label_lens [10], num_boxes), the
+    query side from ``Featurizer.query_token_ids``. Reconstructs each
+    layout exactly as ``featurize.Featurizer`` builds it from a RawExample
+    (`imagebert_lds/src/pixelmodel.py:189-195` / `imagebert_zk/
+    model_triple.py:198-201` / `lxmert/src/tasks/kdd_data.py:88-108`
+    semantics), so scores match the TSV featurization path bit-for-bit
+    (modulo the catalog's float16 feature storage).
+    """
+    from .featurize import SEGMENT_IDS_B
+    from .tsv import MAX_BOXES, MAX_QUERY_LEN_AB, MAX_QUERY_LEN_L, pad_1d, row_mask
+
+    b = len(q_ids_list)
+    if query_ids.shape[0] != b or next(iter(rows.values())).shape[0] != b:
+        raise ValueError("q_ids_list, query_ids and rows must agree on B")
+    features = rows["features"]
+    if features.dtype != np.float32:
+        features = features.astype(np.float32)
+    label_ids = np.ascontiguousarray(rows["label_ids"], dtype=np.int32)
+    boxes = np.ascontiguousarray(rows["boxes"], dtype=np.float32)
+    product_id = np.ascontiguousarray(rows["product_id"], dtype=np.int64)
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+
+    if model_name == "lxmert":
+        input_ids = np.stack(
+            [pad_1d(q, MAX_QUERY_LEN_L) for q in q_ids_list]
+        ).astype(np.int32)
+        input_mask = np.stack(
+            [row_mask(min(len(q), MAX_QUERY_LEN_L), MAX_QUERY_LEN_L)
+             for q in q_ids_list]
+        )
+        num_boxes = np.ascontiguousarray(rows["num_boxes"], dtype=np.int64)
+        return {
+            "input_ids": input_ids,
+            "input_mask": input_mask,
+            "label_ids": label_ids,
+            # stored wordpiece ids are never 0 ([PAD]), so the id grid
+            # carries its own mask
+            "label_mask": (label_ids != 0).astype(np.int32),
+            "boxes": boxes[:, :, :4],  # col 4 is imagebert's area feature
+            "features": features,
+            "feats_mask": np.stack(
+                [row_mask(min(int(n), MAX_BOXES), MAX_BOXES) for n in num_boxes]
+            ).astype(np.float32),
+            "labels": np.ones((b,), np.int32),
+            "product_id": product_id,
+            "query_id": query_ids,
+        }
+
+    input_ids = np.stack(
+        [pad_1d(q, MAX_QUERY_LEN_AB) for q in q_ids_list]
+    ).astype(np.int32)
+    if model_name == "imagebert_a":
+        return {
+            "input_ids": input_ids,
+            "segment_ids": np.zeros((b, MAX_QUERY_LEN_AB), np.int32),
+            "boxes": boxes,
+            "features": features,
+            "label_ids": label_ids,
+            "labels": np.zeros((b,), np.int32),
+            "product_id": product_id,
+            "query_id": query_ids,
+        }
+    if model_name in ("imagebert_b", "imagebert_c"):
+        if "label_lens" in rows:
+            label_lens = np.ascontiguousarray(rows["label_lens"], np.int32)
+        else:
+            # catalogs built before label_lens was stored: the id-grid mask
+            # caps each length at MAX_LABEL_TOKENS (the true reference value
+            # is uncapped; only labels longer than 8 pieces differ)
+            label_lens = (label_ids != 0).sum(axis=2).astype(np.int32)
+        return {
+            "input_ids": input_ids,
+            "len_query": np.array([len(q) for q in q_ids_list], np.int32),
+            "num_boxes": np.ascontiguousarray(rows["num_boxes"], np.int32),
+            "segment_ids": np.tile(SEGMENT_IDS_B, (b, 1)),
+            "boxes": boxes,
+            "features": features,
+            "label_ids": label_ids,
+            "label_lens": label_lens,
+            "labels": np.ones((b,), np.int32),
+            "product_id": product_id,
+            "query_id": query_ids,
+        }
+    raise ValueError(f"unknown model {model_name!r}")
 
 
 def recall_at_k(

@@ -63,6 +63,12 @@ class Featurizer:
     def _query_text(self, ex: RawExample) -> str:
         return rewrite_sen2forest(ex.query) if self.sen2forest else ex.query
 
+    def query_token_ids(self, ex: RawExample) -> list[int]:
+        """Untruncated [CLS]+pieces+[SEP] ids of the (possibly rewritten)
+        query -- the query-side half of every layout, used by the packed-
+        catalog rerank path (``data/catalog.py:rerank_batch``)."""
+        return self.tokenizer.encode_query(self._query_text(ex))
+
     def _label_id_grid(self, ex: RawExample) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (ids [10,8] i32, mask [10,8] i32, lens [10] i32)."""
         ids = np.zeros((MAX_BOXES, MAX_LABEL_TOKENS), dtype=np.int32)

@@ -18,14 +18,16 @@ cascade output, so the K/quality trade-off is measurable.
       --cross-model imagebert_b --cross-checkpoint b.npz \
       --k-recall 50 --out cascade.csv --answers valid_answer.json
 
-This CLI holds catalog product features in RAM for the rerank stage
-(~85 KB/row), which is fine to ~100k products. At the full 3M-product
-scale use the memmapped catalog path instead: ``scripts/recall.py build
---packed --store-features`` streams the catalog into per-field shards with
-bounded RSS, ``data/catalog.py:recall_chunked`` runs the exact recall one
-device chunk at a time, and ``CatalogDataset.rows`` gathers the rerank
-features for just the recalled candidates (``scripts/bench_recall_3m.py``
-demonstrates the 3M regime end to end; numbers in docs/BENCH.md).
+With TSV catalogs this CLI holds product features in RAM for the rerank
+stage (~85 KB/row), which is fine to ~100k products. At the full 3M-product
+scale pass a packed catalog directory instead (built once with
+``scripts/recall.py build --packed --store-features``): ``--catalog dir/``
+skips the re-embed entirely, runs the exact recall one memmapped chunk at a
+time (``data/catalog.py:recall_chunked``), and gathers only the recalled
+candidates' rerank features from the memmap (``CatalogDataset.rows`` +
+``rerank_batch``) -- RSS stays bounded by one chunk + one rerank batch
+(``scripts/bench_recall_3m.py`` demonstrates the 3M recall regime; numbers
+in docs/BENCH.md).
 """
 
 from __future__ import annotations
@@ -48,7 +50,11 @@ def main() -> None:
                          "by query_id) and, with --answers, the eval pairs")
     ap.add_argument("--catalog", required=True, nargs="+",
                     help="TSV(s) whose rows provide the product catalog "
-                         "(deduped by product_id)")
+                         "(deduped by product_id), OR one packed-catalog "
+                         "directory from `recall.py build --packed "
+                         "--store-features` (memmapped; no re-embed)")
+    ap.add_argument("--chunk-rows", type=int, default=262_144,
+                    help="recall chunk size for packed catalogs")
     ap.add_argument("--labels", required=True)
     ap.add_argument("--tower-checkpoint", default=None)
     ap.add_argument("--cross-model", default="imagebert_b",
@@ -107,6 +113,10 @@ def main() -> None:
             with open(path, "r", encoding="utf-8") as f:
                 yield from iter_examples(f)
 
+    packed_dir = None
+    if len(args.catalog) == 1 and Path(args.catalog[0]).is_dir():
+        packed_dir = Path(args.catalog[0])
+
     tcfg = two_tower_config()
     if args.tower_checkpoint:
         tower_params = _load_params(args.tower_checkpoint)
@@ -129,11 +139,6 @@ def main() -> None:
     tower_fz = Featurizer(FullTokenizer.google_style(VOCAB_PATH), labels)
 
     # ---- stage 1a: catalog embeddings (product tower) ----------------------
-    products: dict[int, object] = {}
-    for ex in _examples(args.catalog):
-        products.setdefault(ex.product_id, ex)
-    product_exs = list(products.values())
-    product_ids = np.array([ex.product_id for ex in product_exs])
     # pad the ragged tail chunk: a second traced shape costs 1-3 min of
     # remote compile on the bench rig for zero benefit
     def _embed_chunks(embed_fn, params, exs):
@@ -144,11 +149,32 @@ def main() -> None:
             out.append(np.asarray(embed_fn(params, b))[: len(chunk)])
         return np.concatenate(out, axis=0)
 
-    embed_p = jax.jit(lambda p, b: embed_product(p, b, tcfg))
-    catalog = jnp.asarray(
-        _embed_chunks(embed_p, tower_params, product_exs), jnp.bfloat16
-    )
-    print(f"catalog: {catalog.shape[0]} products", file=sys.stderr)
+    if packed_dir is not None:
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
+            CatalogDataset,
+            recall_chunked,
+            rerank_batch,
+        )
+
+        ds = CatalogDataset(packed_dir)
+        if "features" not in ds.fields:
+            raise SystemExit(
+                f"{packed_dir} has no rerank features; rebuild with "
+                "`recall.py build --packed --store-features`"
+            )
+        product_ids = ds.product_ids()
+        print(f"catalog: {len(ds)} products (memmapped)", file=sys.stderr)
+    else:
+        products: dict[int, object] = {}
+        for ex in _examples(args.catalog):
+            products.setdefault(ex.product_id, ex)
+        product_exs = list(products.values())
+        product_ids = np.array([ex.product_id for ex in product_exs])
+        embed_p = jax.jit(lambda p, b: embed_product(p, b, tcfg))
+        catalog = jnp.asarray(
+            _embed_chunks(embed_p, tower_params, product_exs), jnp.bfloat16
+        )
+        print(f"catalog: {catalog.shape[0]} products", file=sys.stderr)
 
     # ---- stage 1b: query embeddings + recall --------------------------------
     queries: dict[int, object] = {}
@@ -157,9 +183,15 @@ def main() -> None:
     query_exs = list(queries.values())
     query_ids = np.array([ex.query_id for ex in query_exs])
     embed_q = jax.jit(lambda p, b: embed_query(p, b, tcfg))
-    q_emb = jnp.asarray(_embed_chunks(embed_q, tower_params, query_exs))
-    k = min(args.k_recall, catalog.shape[0])
-    _, top_idx = top_k_products(q_emb, catalog, k=k)
+    q_emb = _embed_chunks(embed_q, tower_params, query_exs)
+    if packed_dir is not None:
+        k = min(args.k_recall, len(ds))
+        _, top_idx = recall_chunked(
+            np.asarray(q_emb, np.float32), ds, k=k, chunk_rows=args.chunk_rows
+        )
+    else:
+        k = min(args.k_recall, catalog.shape[0])
+        _, top_idx = top_k_products(jnp.asarray(q_emb), catalog, k=k)
     top_idx = np.asarray(top_idx)
     print(f"recalled top-{k} for {len(query_exs)} queries", file=sys.stderr)
 
@@ -177,28 +209,53 @@ def main() -> None:
     )
     featurize = fz.for_model(args.cross_model)
 
-    pair_exs, pair_qids, pair_pids = [], [], []
-    for row, qex in enumerate(query_exs):
-        for idx in top_idx[row]:
-            if idx < 0:
-                continue
-            pex = product_exs[int(idx)]
-            pair_exs.append(
-                dataclasses.replace(pex, query=qex.query, query_id=qex.query_id)
-            )
-            pair_qids.append(qex.query_id)
-            pair_pids.append(pex.product_id)
-
     scores: dict[str, dict[str, float]] = {}
-    for i in range(0, len(pair_exs), args.batch_size):
-        chunk = pair_exs[i : i + args.batch_size]
-        batch = pad_batch(
-            stack_examples([featurize(ex) for ex in chunk]), args.batch_size
+    if packed_dir is not None:
+        # memmap path: gather only the recalled candidates' features
+        # (CatalogDataset.rows) and rebuild the layout in bulk numpy
+        pair_qrows = [
+            row for row in range(len(query_exs)) for i in top_idx[row] if i >= 0
+        ]
+        pair_idx = np.asarray(
+            [int(i) for row in range(len(query_exs)) for i in top_idx[row] if i >= 0]
         )
-        s = np.asarray(engine.score_batch(batch))[: len(chunk)]
-        for j, sc in enumerate(s):
-            qid, pid = pair_qids[i + j], pair_pids[i + j]
-            scores.setdefault(str(qid), {})[str(pid)] = float(sc)
+        q_ids_cache = [fz.query_token_ids(qex) for qex in query_exs]
+        for i in range(0, len(pair_idx), args.batch_size):
+            qrows = pair_qrows[i : i + args.batch_size]
+            rows = ds.rows(pair_idx[i : i + args.batch_size])
+            batch = rerank_batch(
+                args.cross_model,
+                [q_ids_cache[r] for r in qrows],
+                query_ids[qrows],
+                rows,
+            )
+            batch = pad_batch(batch, args.batch_size)
+            s = np.asarray(engine.score_batch(batch))[: len(qrows)]
+            for j, sc in enumerate(s):
+                qid, pid = query_ids[qrows[j]], rows["product_id"][j]
+                scores.setdefault(str(qid), {})[str(int(pid))] = float(sc)
+    else:
+        pair_exs, pair_qids, pair_pids = [], [], []
+        for row, qex in enumerate(query_exs):
+            for idx in top_idx[row]:
+                if idx < 0:
+                    continue
+                pex = product_exs[int(idx)]
+                pair_exs.append(
+                    dataclasses.replace(pex, query=qex.query, query_id=qex.query_id)
+                )
+                pair_qids.append(qex.query_id)
+                pair_pids.append(pex.product_id)
+
+        for i in range(0, len(pair_exs), args.batch_size):
+            chunk = pair_exs[i : i + args.batch_size]
+            batch = pad_batch(
+                stack_examples([featurize(ex) for ex in chunk]), args.batch_size
+            )
+            s = np.asarray(engine.score_batch(batch))[: len(chunk)]
+            for j, sc in enumerate(s):
+                qid, pid = pair_qids[i + j], pair_pids[i + j]
+                scores.setdefault(str(qid), {})[str(pid)] = float(sc)
 
     # ---- emit top-k-out + metrics -------------------------------------------
     with open(args.out, "w", encoding="utf-8") as f:

@@ -38,22 +38,29 @@ def _setup(args):
     import jax
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
-    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import load_npz
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
+        load_npz,
+        restore_pytree,
+    )
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
         Featurizer,
         load_multimodal_labels,
     )
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.two_tower import (
-        TwoTowerConfig,
         init_params,
+        two_tower_config,
     )
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.tokenization import (
         FullTokenizer,
     )
 
-    tcfg = TwoTowerConfig()
+    # two_tower_config (not TwoTowerConfig()) so KMR_TOWER_CONFIG_OVERRIDES
+    # applies -- a checkpoint trained at an overridden size must load here
+    tcfg = two_tower_config()
     if args.checkpoint:
-        params = load_npz(args.checkpoint)
+        # npz file or orbax directory (scripts/train.py writes the latter)
+        p = Path(args.checkpoint)
+        params = restore_pytree(p) if p.is_dir() else load_npz(p)
     else:
         print("WARNING: no checkpoint; random init", file=sys.stderr)
         params = init_params(jax.random.key(0), tcfg)
@@ -92,7 +99,11 @@ def cmd_build(args) -> None:
                     "embedding": e[row],
                 }
                 if args.store_features:
-                    for f in ("boxes", "features", "label_ids", "num_boxes"):
+                    # everything the cross-encoder rerank stage needs
+                    # (data/catalog.py:rerank_batch reconstructs all three
+                    # model layouts from these + the query tokens)
+                    for f in ("boxes", "features", "label_ids", "label_lens",
+                              "num_boxes"):
                         entry[f] = feats[f][row]
                 yield entry
                 seen += 1

@@ -144,6 +144,52 @@ def test_cascade_cli(data_dir, tower_run, tmp_path):
                 assert 500000 <= int(pid) < 500032
 
 
+def test_cascade_cli_packed_catalog(data_dir, tower_run, tmp_path):
+    """The 3M-regime path: recall.py build --packed --store-features once,
+    then cascade straight off the memmapped catalog (no re-embed, no RAM
+    feature dicts). Same invariants as the TSV-catalog run."""
+    cat = tmp_path / "cat"
+    r = _run(
+        [
+            "scripts/recall.py", "build",
+            "--tsv", str(data_dir / "pairs.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--checkpoint", str(tower_run / "step_80"),
+            "--out", str(cat), "--packed", "--store-features",
+            "--shard-size", "10",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = tmp_path / "cascade_packed.csv"
+    r = _run(
+        [
+            "scripts/cascade.py",
+            "--queries", str(data_dir / "pairs.tsv"),
+            "--catalog", str(cat),
+            "--labels", str(data_dir / "labels.txt"),
+            "--tower-checkpoint", str(tower_run / "step_80"),
+            "--cross-model", "imagebert_b",
+            "--k-recall", "40",
+            "--chunk-rows", "13",  # multiple chunks, ragged tail
+            "--out", str(out),
+            "--answers", str(data_dir / "answers.json"),
+            "--batch-size", "16",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics["recall_at_k"] == 1.0
+    assert 0.0 <= metrics["cascade_ndcg5"] <= 1.0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 33
+    for line in lines[1:]:
+        cells = line.split(",")
+        assert len(cells) == 6
+        for pid in cells[1:]:
+            if pid:
+                assert 500000 <= int(pid) < 500032
+
+
 def test_cascade_narrow_recall(data_dir, tower_run, tmp_path):
     """K=5 of 32: the trained tower must pull recall@K well above the 5/32
     random baseline (its in-batch accuracy is >0.5 after training)."""

@@ -112,6 +112,132 @@ def test_bench_recall_3m_smoke(tmp_path):
     assert (tmp_path / "cat" / "manifest.json").exists()
 
 
+def test_rerank_batch_matches_featurizer(tmp_path):
+    """The packed-catalog rerank assembly must reproduce every model's
+    Featurizer layout bit-for-bit (features modulo the catalog's float16
+    storage) -- this is what makes `cascade.py --catalog <packed dir>`
+    score-equivalent to the TSV featurization path."""
+    import dataclasses
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
+        Featurizer,
+        load_multimodal_labels,
+        parse_line,
+        rerank_batch,
+        stack_examples,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+        SYNTHETIC_LABELS,
+        make_row,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import get_model
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.tokenization import (
+        FullTokenizer,
+    )
+
+    labels_path = tmp_path / "labels.txt"
+    labels_path.write_text(
+        "\n".join(f"{k}\t{v}" for k, v in SYNTHETIC_LABELS.items()) + "\n"
+    )
+    labels = load_multimodal_labels(labels_path)
+    rng = np.random.default_rng(5)
+    product_exs = [
+        parse_line(make_row(rng, product_id=700 + i, query_id=0)) for i in range(6)
+    ]
+    query_exs = [
+        parse_line(make_row(
+            rng, product_id=0, query_id=40 + i,
+            query="sen department of sweet dress" if i == 0 else None,
+        ))
+        for i in range(3)
+    ]
+
+    # the catalog stores what recall.py build --store-features stores: the
+    # ImageBERT-B featurization of each product (features halved to f16)
+    google = FullTokenizer.google_style(VOCAB_PATH)
+    tower_fz = Featurizer(google, labels)
+    build_catalog(
+        (
+            {
+                "product_id": np.int64(ex.product_id),
+                "embedding": rng.standard_normal(8).astype(np.float32),
+                **{
+                    f: tower_fz.imagebert_b(ex)[f]
+                    for f in ("boxes", "features", "label_ids", "label_lens",
+                              "num_boxes")
+                },
+            }
+            for ex in product_exs
+        ),
+        tmp_path / "cat",
+        shard_size=4,
+    )
+    ds = CatalogDataset(tmp_path / "cat")
+
+    # pairs: every query x products [i, i+1]
+    pair_q = [0, 0, 1, 1, 2, 2]
+    pair_p = [0, 1, 1, 2, 2, 3]
+    rows = ds.rows(np.asarray(pair_p))
+    for model_name in ("imagebert_a", "imagebert_b", "imagebert_c", "lxmert"):
+        spec = get_model(model_name)
+        tok = (
+            FullTokenizer.hf_style(VOCAB_PATH)
+            if model_name == "lxmert"
+            else google
+        )
+        fz = Featurizer(tok, labels, sen2forest=spec.sen2forest)
+        featurize = fz.for_model(model_name)
+        want = stack_examples([
+            featurize(dataclasses.replace(
+                product_exs[p],
+                query=query_exs[q].query,
+                query_id=query_exs[q].query_id,
+            ))
+            for q, p in zip(pair_q, pair_p)
+        ])
+        got = rerank_batch(
+            model_name,
+            [fz.query_token_ids(query_exs[q]) for q in pair_q],
+            np.asarray([query_exs[q].query_id for q in pair_q], np.int64),
+            rows,
+        )
+        assert set(got) == set(want), model_name
+        for key in want:
+            if key == "features":
+                np.testing.assert_array_equal(
+                    got[key], want[key].astype(np.float16).astype(np.float32),
+                    err_msg=f"{model_name}.{key}",
+                )
+            else:
+                assert got[key].dtype == np.asarray(want[key]).dtype, (
+                    model_name, key, got[key].dtype, np.asarray(want[key]).dtype)
+                np.testing.assert_array_equal(
+                    got[key], want[key], err_msg=f"{model_name}.{key}"
+                )
+
+
+def test_rerank_batch_label_lens_fallback(tmp_path):
+    """Catalogs built before label_lens was stored fall back to the id-grid
+    mask sum (capped at MAX_LABEL_TOKENS)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import rerank_batch
+
+    rows = {
+        "product_id": np.arange(2, dtype=np.int64),
+        "num_boxes": np.array([2, 1], np.int32),
+        "boxes": np.zeros((2, 10, 5), np.float32),
+        "features": np.zeros((2, 10, 16), np.float32),
+        "label_ids": np.zeros((2, 10, 8), np.int32),
+    }
+    rows["label_ids"][0, 0, :3] = [5, 6, 7]
+    rows["label_ids"][1, 0, :8] = 9
+    got = rerank_batch(
+        "imagebert_b", [[101, 102], [101, 103]], np.zeros(2, np.int64), rows
+    )
+    np.testing.assert_array_equal(got["label_lens"][0], [3] + [0] * 9)
+    np.testing.assert_array_equal(got["label_lens"][1], [8] + [0] * 9)
+
+
 def test_recall_cli_packed_roundtrip(tmp_path):
     """recall.py build --packed -> query + curve from the packed dir."""
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
