@@ -225,6 +225,49 @@ def attention_block(
                 interpret=(mode == "interpret"),
             )
     if (
+        attn_rng is not None
+        and x is not ctx
+        and x.shape[-1] == ctx.shape[-1]
+        and "kernel" in p["query"]
+        and (
+            bias is None
+            or (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1)
+        )
+    ):
+        from ..ops.pallas_train import (
+            cross_attention_block_train,
+            seed_from_key,
+            train_fused_mode,
+        )
+
+        mode = train_fused_mode()
+        if mode != "off":
+            # fused custom-VJP cross-attention training block (LXMERT
+            # x-layers: ops/pallas_train.py)
+            wkv = jnp.concatenate(
+                [p["key"]["kernel"], p["value"]["kernel"]], axis=1
+            )
+            bkv = jnp.concatenate([p["key"]["bias"], p["value"]["bias"]])
+            b, t = ctx.shape[0], ctx.shape[1]
+            return cross_attention_block_train(
+                x.astype(prec.compute_dtype),
+                ctx.astype(prec.compute_dtype),
+                p["query"]["kernel"],
+                p["query"]["bias"],
+                wkv,
+                bkv,
+                p["output"]["dense"]["kernel"],
+                p["output"]["dense"]["bias"],
+                p["output"]["LayerNorm"]["gamma"],
+                p["output"]["LayerNorm"]["beta"],
+                n,
+                seed_from_key(attn_rng),
+                bias=None if bias is None else bias.reshape(b, t),
+                attn_dropout_rate=cfg.attention_probs_dropout_prob,
+                hidden_dropout_rate=cfg.hidden_dropout_prob,
+                interpret=(mode == "interpret"),
+            )
+    if (
         packed_attention_active()
         and attn_rng is None
         and hid_rng is None

@@ -180,12 +180,24 @@ def visual_encoder(
     return out
 
 
-def _scan_stack(stacked: Params, fn, init):
-    # per-layer remat, as in core.encoder: the backward otherwise saves all
-    # scan-stacked intermediates (train batch 1024 needs ~39G of 15.75G HBM)
-    @jax.checkpoint
+def _scan_stack(stacked: Params, fn, init, training: bool = False):
+    # per-layer remat, as in core.encoder: on the XLA train path the
+    # backward otherwise saves all scan-stacked intermediates (train batch
+    # 1024 needs ~39G of 15.75G HBM). On the fused train path every block
+    # of every stack (self-attn, cross-attn, FFN) is a custom-VJP Pallas
+    # kernel that recomputes its own intermediates in VMEM, so only the
+    # [B, S, H] block inputs are saved and an outer remat would just run
+    # every forward kernel twice (core.encoder applies the same policy).
     def body(carry, layer_p):
         return fn(carry, layer_p), None
+
+    if training:
+        from ..ops.pallas_train import train_fused_mode
+
+        if train_fused_mode() == "off":
+            body = jax.checkpoint(body)
+    else:
+        body = jax.checkpoint(body)
 
     out, _ = jax.lax.scan(body, init, stacked)
     return out
@@ -248,8 +260,15 @@ def apply(
         l_rng, r_rng, x_rng = jax.random.split(layer_rng, 3)
     else:
         l_rng = r_rng = x_rng = None
-    lang, _ = _scan_stack(enc["layer"], lang_layer, (lang.astype(prec.compute_dtype), l_rng))
-    visn, _ = _scan_stack(enc["r_layers"], visn_layer, (visn.astype(prec.compute_dtype), r_rng))
+    training = rng is not None
+    lang, _ = _scan_stack(
+        enc["layer"], lang_layer, (lang.astype(prec.compute_dtype), l_rng),
+        training,
+    )
+    visn, _ = _scan_stack(
+        enc["r_layers"], visn_layer, (visn.astype(prec.compute_dtype), r_rng),
+        training,
+    )
 
     # Measured NEGATIVE (v5e, B=8192): merging the two shared-weight cross
     # directions into one self-attention over the concatenated 33-row
@@ -275,7 +294,7 @@ def apply(
         v4 = ffn_block(lp["visn_ffn"], v3, cfg, prec, act=ACT, hid_rng=rng_of(5)[1])
         return (l4, v4, r)
 
-    lang, visn, _ = _scan_stack(enc["x_layers"], x_layer, (lang, visn, x_rng))
+    lang, visn, _ = _scan_stack(enc["x_layers"], x_layer, (lang, visn, x_rng), training)
 
     pooled = pooler(p["bert"]["pooler"], lang, prec)
     if use_am_head:

@@ -406,7 +406,7 @@ class AttnTrainSpec:
     block_b: int
     interpret: bool
     has_bias: bool
-    headpack: bool = False
+    headpack: bool | str = False  # False | True | "mixed"
 
     @property
     def attn_cutoff(self) -> int:
@@ -577,15 +577,19 @@ def _attn_fwd_kernel(
 def _attn_bwd_grads_packed(
     spec, qkv, dctx, groups, dqkv_ref, dtype, scale, inv_attn
 ):
-    """Head-packed attention gradients: all per-head matmuls become one
-    packed matmul per group, with softmax-backward's per-segment sums from
-    the same block-diag-ones trick as the forward. dk/dv come out of a
-    [G*S, G*Dh] product whose DIAGONAL blocks are the true per-head grads
-    (the off-diagonal cross-head blocks are the packing's (G-1)/G MAC waste,
-    sliced away); dq and dprobs are exact because K/V packs are
-    block-diagonal."""
+    """Head-packed attention gradients: per-head matmuls become one packed
+    matmul per group, with softmax-backward's per-segment sums from the same
+    block-diag-ones trick as the forward. dprobs and dq are exact because
+    the K/V packs are block-diagonal, and they pack only ONE output dim
+    (lanes), same profile as the forward's score/context products. Fully
+    packed dk/dv instead come out of a [G*S, G*Dh] product with BOTH output
+    dims packed: G^2 MACs for G useful diagonal blocks -- the measured
+    reason the all-packed train variant lost 5% at S=40. ``mixed`` keeps
+    dprobs/ds/dq packed but computes dk/dv per head from slices of the
+    packed probs/ds (exact, G MACs, [S, Dh] outputs)."""
     from .pallas_attention import pack_kv, segment_sums
 
+    mixed = spec.headpack == "mixed"
     block, s, h3 = qkv.shape
     h = h3 // 3
     dh = h // spec.num_heads
@@ -597,11 +601,6 @@ def _attn_bwd_grads_packed(
         dctx_g = dctx[..., g0 * dh : (g0 + g) * dh].astype(dtype)
         probsd = jnp.where(mask, probs * inv_attn, 0.0) if mask is not None else probs
         probsd16 = probsd.astype(dtype)
-        # dv-pack [block, G*S, G*Dh]: diag blocks = probsd_j^T @ dctx_j
-        dvpack = jax.lax.dot_general(
-            probsd16, dctx_g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
         # exact: vpack is block-diagonal, so segment j picks dctx_j @ v_j^T
         dprobsd = jax.lax.dot_general(
             dctx_g, vpack, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -617,11 +616,39 @@ def _attn_bwd_grads_packed(
             ds16, kpack, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        dqkv_ref[..., g0 * dh : (g0 + g) * dh] = dq_g.astype(dqkv_ref.dtype)
+        if mixed:
+            for j in range(g):
+                hj = g0 + j
+                ds_j = ds16[..., j * s : (j + 1) * s]
+                probsd_j = probsd16[..., j * s : (j + 1) * s]
+                q_j = q_g[..., j * dh : (j + 1) * dh]
+                dctx_j = dctx_g[..., j * dh : (j + 1) * dh]
+                dk_j = jax.lax.dot_general(
+                    ds_j, q_j, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dv_j = jax.lax.dot_general(
+                    probsd_j, dctx_j,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                dqkv_ref[..., h + hj * dh : h + (hj + 1) * dh] = dk_j.astype(
+                    dqkv_ref.dtype
+                )
+                dqkv_ref[..., 2 * h + hj * dh : 2 * h + (hj + 1) * dh] = (
+                    dv_j.astype(dqkv_ref.dtype)
+                )
+            continue
+        # dv-pack [block, G*S, G*Dh]: diag blocks = probsd_j^T @ dctx_j
+        dvpack = jax.lax.dot_general(
+            probsd16, dctx_g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         dkpack = jax.lax.dot_general(
             ds16, q_g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        dqkv_ref[..., g0 * dh : (g0 + g) * dh] = dq_g.astype(dqkv_ref.dtype)
         for j in range(g):
             hj = g0 + j
             dqkv_ref[..., h + hj * dh : h + (hj + 1) * dh] = dkpack[
@@ -891,23 +918,27 @@ def attention_block_train(
     eps: float = 1e-12,
     block_b: int = 8,
     interpret: bool = False,
-    headpack: bool | None = None,
+    headpack: bool | str | None = None,
 ) -> jax.Array:
     """Differentiable fused self-attention block with in-kernel dropout.
 
     ``headpack=True`` packs heads into the 128-lane score tile
     (ops/pallas_attention.py) in both the forward and the backward head
-    math -- dropout masks are drawn with the same per-head order/shapes
-    either way, so the two variants train bit-identically given the same
-    seed. Default OFF (KMR_TRAIN_HEADPACK=1 overrides): measured on v5e the
-    packed TRAIN step is ~5% slower at S=40 (A: 4,096 -> 3,876 pairs/s at
-    B=1024) -- the backward's dk/dv packed products pay the (G-1)/G MAC
-    waste twice and the packs are rebuilt in the grads pass, which outweighs
-    the softmax-lane win that makes packing profitable at inference."""
+    math; ``headpack="mixed"`` packs the forward/recompute and the exact
+    single-packed-output-dim backward products (dprobs/ds/dq) but keeps
+    dk/dv per head -- dropout masks are drawn with the same per-head
+    order/shapes in every variant, so all three train bit-identically given
+    the same seed. Default OFF (env KMR_TRAIN_HEADPACK=1|mixed overrides):
+    measured on v5e the all-packed TRAIN step is ~5% slower at S=40
+    (A: 4,096 -> 3,876 pairs/s at B=1024) -- the backward's dk/dv packed
+    products pay G^2 MACs for G useful diagonal blocks, which outweighs the
+    softmax-lane win that makes packing profitable at inference; "mixed"
+    removes exactly that product (measurement in docs/BENCH.md)."""
     if headpack is None:
         import os
 
-        headpack = os.environ.get("KMR_TRAIN_HEADPACK") == "1"
+        env = os.environ.get("KMR_TRAIN_HEADPACK", "")
+        headpack = "mixed" if env == "mixed" else env == "1"
     spec = AttnTrainSpec(
         num_heads=num_heads,
         attn_dropout_rate=float(attn_dropout_rate),
@@ -917,6 +948,414 @@ def attention_block_train(
         headpack=headpack,
     )
     return _attn_train(spec, x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias)
+
+
+# ==========================================================================
+# cross-attention block (LXMERT x-layers):
+#   y = LN(x + dropout(Wo . concat_heads(dropout(softmax(Q(x) K(ctx)^T/s
+#       + bias)) V(ctx))))
+# ==========================================================================
+
+
+@dataclass(frozen=True)
+class CrossTrainSpec:
+    num_heads: int
+    attn_dropout_rate: float
+    hidden_dropout_rate: float
+    eps: float
+    block_b: int
+    interpret: bool
+    has_bias: bool
+
+    @property
+    def attn_cutoff(self) -> int:
+        return dropout_cutoff(self.attn_dropout_rate)
+
+    @property
+    def hidden_cutoff(self) -> int:
+        return dropout_cutoff(self.hidden_dropout_rate)
+
+
+def _cross_recompute_heads(spec: CrossTrainSpec, seed, q, kv, bias):
+    """Shared fwd/bwd head loop over F->T attention: per-head
+    (undropped probs f32 [block, F, T], keep mask). Draw order matches the
+    self-attention kernels: head i draws 1+i; hidden draw 0 comes after."""
+    block, f, h = q.shape
+    t = kv.shape[1]
+    n, dh = spec.num_heads, h // spec.num_heads
+    scale = 1.0 / (dh**0.5)
+    probs_list, keep_list = [], []
+    for i in range(n):
+        qh = q[..., i * dh : (i + 1) * dh]
+        kh = kv[..., i * dh : (i + 1) * dh]
+        scores = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        keep = None
+        if spec.attn_dropout_rate > 0.0:
+            keep = _keep_mask(
+                seed, 1 + i, probs.shape, spec.attn_cutoff, spec.interpret
+            )
+        probs_list.append(probs)
+        keep_list.append(keep)
+    return probs_list, keep_list
+
+
+def _cross_fwd_kernel(
+    seed_ref, x_ref, ctx_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref,
+    bo_ref, gamma_ref, beta_ref, *rest, spec: CrossTrainSpec,
+):
+    if spec.has_bias:
+        bias_ref, y_ref = rest
+    else:
+        (y_ref,) = rest
+        bias_ref = None
+    seed = _seed_prng(seed_ref, spec.interpret)
+    x = x_ref[:]
+    c = ctx_ref[:]
+    block, f, h = x.shape
+    t = c.shape[1]
+    n, dh = spec.num_heads, h // spec.num_heads
+    x2d = x.reshape(block * f, h)
+    q = (
+        jax.lax.dot(x2d, wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[:].astype(jnp.float32)
+    ).astype(x.dtype).reshape(block, f, h)
+    kv = (
+        jax.lax.dot(
+            c.reshape(block * t, h), wkv_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype).reshape(block, t, 2 * h)
+    bias = None
+    if bias_ref is not None:
+        # compact ctx-side key-mask rows [BLOCK, T], broadcast over queries
+        bias = bias_ref[:].astype(jnp.float32)[:, None, :]
+    probs_list, keep_list = _cross_recompute_heads(spec, seed, q, kv, bias)
+    inv_attn = 1.0 / (1.0 - spec.attn_dropout_rate)
+    head_outs = []
+    for i in range(n):
+        probs = probs_list[i]
+        if keep_list[i] is not None:
+            probs = jnp.where(keep_list[i], probs * inv_attn, 0.0)
+        vh = kv[..., h + i * dh : h + (i + 1) * dh]
+        head_outs.append(
+            jax.lax.dot_general(
+                probs.astype(x.dtype), vh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    ctx_out = jnp.concatenate(head_outs, axis=-1).reshape(block * f, h)
+    o = jax.lax.dot(
+        ctx_out, wo_ref[:], preferred_element_type=jnp.float32
+    ) + bo_ref[:].astype(jnp.float32)
+    if spec.hidden_dropout_rate > 0.0:
+        keep_h = _keep_mask(seed, 0, o.shape, spec.hidden_cutoff, spec.interpret)
+        o = jnp.where(keep_h, o * (1.0 / (1.0 - spec.hidden_dropout_rate)), 0.0)
+    z = o + x2d.astype(jnp.float32)
+    y, _, _ = _layer_norm_fwd(
+        z, gamma_ref[:].astype(jnp.float32), beta_ref[:].astype(jnp.float32),
+        spec.eps,
+    )
+    y_ref[:] = y.reshape(block, f, h).astype(y_ref.dtype)
+
+
+def _cross_bwd_kernel(
+    seed_ref, x_ref, ctx_ref, dy_ref, wq_ref, bq_ref, wkv_ref, bkv_ref,
+    wo_ref, bo_ref, gamma_ref, *rest, spec: CrossTrainSpec,
+):
+    if spec.has_bias:
+        (bias_ref, dx_ref, dq_ref, dkv_ref, ctxout_ref, do_ref,
+         dgamma_ref, dbeta_ref) = rest
+    else:
+        (dx_ref, dq_ref, dkv_ref, ctxout_ref, do_ref, dgamma_ref,
+         dbeta_ref) = rest
+        bias_ref = None
+    seed = _seed_prng(seed_ref, spec.interpret)
+    x = x_ref[:]
+    c = ctx_ref[:]
+    block, f, h = x.shape
+    t = c.shape[1]
+    n, dh = spec.num_heads, h // spec.num_heads
+    scale = 1.0 / (dh**0.5)
+    x2d = x.reshape(block * f, h)
+    # ---- recompute forward (identical draw order to _cross_fwd_kernel) ----
+    q = (
+        jax.lax.dot(x2d, wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[:].astype(jnp.float32)
+    ).astype(x.dtype).reshape(block, f, h)
+    kv = (
+        jax.lax.dot(
+            c.reshape(block * t, h), wkv_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype).reshape(block, t, 2 * h)
+    bias = None
+    if bias_ref is not None:
+        bias = bias_ref[:].astype(jnp.float32)[:, None, :]
+    probs_list, keep_list = _cross_recompute_heads(spec, seed, q, kv, bias)
+    inv_attn = 1.0 / (1.0 - spec.attn_dropout_rate)
+    head_outs, probsd_list = [], []
+    for i in range(n):
+        probs = probs_list[i]
+        if keep_list[i] is not None:
+            probsd = jnp.where(keep_list[i], probs * inv_attn, 0.0)
+        else:
+            probsd = probs
+        probsd16 = probsd.astype(x.dtype)
+        probsd_list.append(probsd16)
+        vh = kv[..., h + i * dh : h + (i + 1) * dh]
+        head_outs.append(
+            jax.lax.dot_general(
+                probsd16, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    ctx_out = jnp.concatenate(head_outs, axis=-1).reshape(block * f, h)
+    ctxout_ref[:] = ctx_out.reshape(block, f, h)
+    o = jax.lax.dot(
+        ctx_out, wo_ref[:], preferred_element_type=jnp.float32
+    ) + bo_ref[:].astype(jnp.float32)
+    if spec.hidden_dropout_rate > 0.0:
+        keep_h = _keep_mask(seed, 0, o.shape, spec.hidden_cutoff, spec.interpret)
+        inv_h = 1.0 / (1.0 - spec.hidden_dropout_rate)
+        o = jnp.where(keep_h, o * inv_h, 0.0)
+    z = o + x2d.astype(jnp.float32)
+    gamma = gamma_ref[:].astype(jnp.float32)
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + spec.eps)
+    zn = (z - mean) * inv
+    # ---- backward ----
+    dy = dy_ref[:].reshape(block * f, h).astype(jnp.float32)
+    _write_partial(dgamma_ref, jnp.sum(dy * zn, axis=0))
+    _write_partial(dbeta_ref, jnp.sum(dy, axis=0))
+    dz = _layer_norm_bwd(dy, zn, inv, gamma)
+    if spec.hidden_dropout_rate > 0.0:
+        do = jnp.where(keep_h, dz * inv_h, 0.0)
+    else:
+        do = dz
+    do16 = do.astype(x.dtype)
+    do_ref[:] = do16.reshape(block, f, h)
+    dctxout = jax.lax.dot_general(
+        do16, wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(block, f, h)
+    for i in range(n):
+        qh = q[..., i * dh : (i + 1) * dh]
+        kh = kv[..., i * dh : (i + 1) * dh]
+        vh = kv[..., h + i * dh : h + (i + 1) * dh]
+        dctx_h = dctxout[..., i * dh : (i + 1) * dh].astype(x.dtype)
+        # dv = probs_dropped^T @ dctx_h (contract the F query positions)
+        dv = jax.lax.dot_general(
+            probsd_list[i], dctx_h,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dprobsd = jax.lax.dot_general(
+            dctx_h, vh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if keep_list[i] is not None:
+            dprobs = jnp.where(keep_list[i], dprobsd * inv_attn, 0.0)
+        else:
+            dprobs = dprobsd
+        probs = probs_list[i]
+        ds = (
+            probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+        ) * scale
+        ds16 = ds.astype(x.dtype)
+        dqh = jax.lax.dot_general(
+            ds16, kh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds16, qh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[..., i * dh : (i + 1) * dh] = dqh.astype(dq_ref.dtype)
+        dkv_ref[..., i * dh : (i + 1) * dh] = dk.astype(dkv_ref.dtype)
+        dkv_ref[..., h + i * dh : h + (i + 1) * dh] = dv.astype(dkv_ref.dtype)
+    dq2d = dq_ref[:].reshape(block * f, h)
+    dx = dz + jax.lax.dot_general(
+        dq2d, wq_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[:] = dx.reshape(block, f, h).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _cross_train(spec, x, ctx, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed, bias):
+    y, _ = _cross_train_fwd(
+        spec, x, ctx, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed, bias
+    )
+    return y
+
+
+def _cross_train_fwd(spec, x, ctx, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed, bias):
+    b, f, h = x.shape
+    t = ctx.shape[1]
+    block = min(spec.block_b, b)
+    n_blocks = _grid_check(b, block, "cross_attention_block_train")
+    dt = x.dtype
+    wqc, wkvc, woc = wq.astype(dt), wkv.astype(dt), wo.astype(dt)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        _block_spec(block, (f, h)),
+        _block_spec(block, (t, h)),
+        _const_spec(wqc), _const_spec(bq), _const_spec(wkvc),
+        _const_spec(bkv), _const_spec(woc), _const_spec(bo),
+        _const_spec(gamma), _const_spec(beta),
+    ]
+    args = [seed, x, ctx.astype(dt), wqc, bq, wkvc, bkv, woc, bo, gamma, beta]
+    if spec.has_bias:
+        in_specs.append(
+            pl.BlockSpec((block, t), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+    y = pl.pallas_call(
+        functools.partial(_cross_fwd_kernel, spec=spec),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=_block_spec(block, (f, h)),
+        out_shape=jax.ShapeDtypeStruct((b, f, h), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=spec.interpret,
+    )(*args)
+    return y, (x, ctx, wq, bq, wkv, bkv, wo, bo, gamma, seed, bias)
+
+
+def _cross_train_bwd(spec, res, dy):
+    x, ctx, wq, bq, wkv, bkv, wo, bo, gamma, seed, bias = res
+    b, f, h = x.shape
+    t = ctx.shape[1]
+    block = min(spec.block_b, b)
+    n_blocks = b // block
+    dt = x.dtype
+    wqc, wkvc, woc = wq.astype(dt), wkv.astype(dt), wo.astype(dt)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        _block_spec(block, (f, h)),
+        _block_spec(block, (t, h)),
+        _block_spec(block, (f, h)),
+        _const_spec(wqc), _const_spec(bq), _const_spec(wkvc),
+        _const_spec(bkv), _const_spec(woc), _const_spec(bo),
+        _const_spec(gamma),
+    ]
+    args = [seed, x, ctx.astype(dt), dy.astype(dt), wqc, bq, wkvc, bkv,
+            woc, bo, gamma]
+    if spec.has_bias:
+        in_specs.append(
+            pl.BlockSpec((block, t), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+    dx, dq, dkv, ctxout, do, dgamma_p, dbeta_p = pl.pallas_call(
+        functools.partial(_cross_bwd_kernel, spec=spec),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            _block_spec(block, (f, h)),
+            _block_spec(block, (f, h)),
+            _block_spec(block, (t, 2 * h)),
+            _block_spec(block, (f, h)),
+            _block_spec(block, (f, h)),
+            _partial_spec(h),
+            _partial_spec(h),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, f, h), dt),
+            jax.ShapeDtypeStruct((b, f, h), dt),
+            jax.ShapeDtypeStruct((b, t, 2 * h), dt),
+            jax.ShapeDtypeStruct((b, f, h), dt),
+            jax.ShapeDtypeStruct((b, f, h), dt),
+            jax.ShapeDtypeStruct((n_blocks, 8, h), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 8, h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=spec.interpret,
+    )(*args)
+    rows = lambda a: a.reshape(-1, a.shape[-1])  # noqa: E731
+    # dctx rides one big near-peak XLA matmul, like the weight grads
+    dctx = jax.lax.dot_general(
+        rows(dkv), wkvc, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, t, h).astype(dt)
+    dwq = jax.lax.dot_general(
+        rows(x), rows(dq), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbq = jnp.sum(rows(dq).astype(jnp.float32), axis=0)
+    dwkv = jax.lax.dot_general(
+        rows(ctx).astype(dt), rows(dkv),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbkv = jnp.sum(rows(dkv).astype(jnp.float32), axis=0)
+    dwo = jax.lax.dot_general(
+        rows(ctxout), rows(do), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbo = jnp.sum(rows(do).astype(jnp.float32), axis=0)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return (dx, dctx, dwq, dbq, dwkv, dbkv, dwo, dbo,
+            dgamma_p[:, 0, :].sum(0), dbeta_p[:, 0, :].sum(0), dseed, dbias)
+
+
+_cross_train.defvjp(_cross_train_fwd, _cross_train_bwd)
+
+
+def cross_attention_block_train(
+    x: jax.Array,  # [B, F, H] query-side stream
+    ctx: jax.Array,  # [B, T, H] key/value-side stream
+    wq: jax.Array,  # [H, H] float32
+    bq: jax.Array,
+    wkv: jax.Array,  # [H, 2H] float32 (key ++ value kernels)
+    bkv: jax.Array,
+    wo: jax.Array,  # [H, H] float32
+    bo: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_heads: int,
+    seed: jax.Array,  # [1] int32
+    bias: jax.Array | None = None,  # compact ctx key-mask rows [B, T]
+    attn_dropout_rate: float = 0.0,
+    hidden_dropout_rate: float = 0.0,
+    eps: float = 1e-12,
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable fused cross-attention block with in-kernel dropout.
+
+    The LXMERT x-layers' two cross directions (``lxmert/src/lxrt/
+    modeling.py:460-464``) previously trained on the unfused XLA path
+    (ops/pallas_train.py had self-attention only), leaving 10 of the 19
+    per-forward blocks unfused with threefry mask tensors in HBM. Same
+    recompute-in-VMEM backward + hardware-PRNG dropout scheme as
+    ``attention_block_train``; dctx and all weight gradients ride XLA
+    matmuls over B*F / B*T rows."""
+    spec = CrossTrainSpec(
+        num_heads=num_heads,
+        attn_dropout_rate=float(attn_dropout_rate),
+        hidden_dropout_rate=float(hidden_dropout_rate),
+        eps=eps, block_b=block_b, interpret=interpret,
+        has_bias=bias is not None,
+    )
+    return _cross_train(spec, x, ctx, wq, bq, wkv, bkv, wo, bo, gamma, beta,
+                        seed, bias)
 
 
 # ==========================================================================

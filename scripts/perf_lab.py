@@ -157,8 +157,9 @@ def _looped(fn):
 
 
 def cmd_train(name: str, B: int):
-    """Train-step throughput (fwd+bwd+optimizer, XLA path -- the fused
-    kernels have no VJP and are bypassed when dropout rngs are present)."""
+    """Train-step throughput (fwd+bwd+optimizer) on the Trainer's real
+    path: fused custom-VJP Pallas blocks on TPU (KMR_TRAIN_FUSED=off for
+    the XLA comparison path)."""
     from scripts.bench_all import make_batch
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_train import (
     _hash_bits,
     attention_block_train,
+    cross_attention_block_train,
     dropout_cutoff,
     ffn_block_train,
     gelu_fwd,
@@ -134,7 +135,7 @@ def test_ffn_train_grads_match_reference(ffn_args, rate):
         )
 
 
-@pytest.mark.parametrize("headpack", [False, True])
+@pytest.mark.parametrize("headpack", [False, True, "mixed"])
 @pytest.mark.parametrize("rates", [(0.0, 0.0), (0.2, 0.1)])
 @pytest.mark.parametrize("with_bias", [False, True])
 def test_attn_train_fwd_matches_reference(attn_args, rates, with_bias, headpack):
@@ -150,7 +151,7 @@ def test_attn_train_fwd_matches_reference(attn_args, rates, with_bias, headpack)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-@pytest.mark.parametrize("headpack", [False, True])
+@pytest.mark.parametrize("headpack", [False, True, "mixed"])
 @pytest.mark.parametrize("rates", [(0.0, 0.0), (0.2, 0.1)])
 def test_attn_train_grads_match_reference(attn_args, rates, headpack):
     x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias = attn_args
@@ -174,6 +175,99 @@ def test_attn_train_grads_match_reference(attn_args, rates, headpack):
     names = ["x", "wqkv", "bqkv", "wo", "bo", "gamma", "beta"]
     got = jax.grad(loss_fused, argnums=tuple(range(7)))(x, wqkv, bqkv, wo, bo, gamma, beta)
     want = jax.grad(loss_ref, argnums=tuple(range(7)))(x, wqkv, bqkv, wo, bo, gamma, beta)
+    for g, w, name in zip(got, want, names):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad mismatch: {name} (rates={rates})",
+        )
+
+
+T = 5  # ctx length for cross-attention (F = S = 8)
+
+
+def ref_cross(x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed, arate, hrate,
+              bias=None):
+    b, f, h = x.shape
+    t = c.shape[1]
+    dh = h // N
+    scale = 1.0 / (dh**0.5)
+    x2d = x.reshape(b * f, h)
+    q = (x2d @ wq + bq).reshape(b, f, h)
+    kv = (c.reshape(b * t, h) @ wkv + bkv).reshape(b, t, 2 * h)
+    outs = []
+    for i in range(N):
+        qh = q[..., i * dh : (i + 1) * dh]
+        kh = kv[..., i * dh : (i + 1) * dh]
+        vh = kv[..., h + i * dh : h + (i + 1) * dh]
+        scores = jnp.einsum("bfd,btd->bft", qh, kh) * scale
+        if bias is not None:
+            scores = scores + bias[:, None, :]
+        probs = jax.nn.softmax(scores, axis=-1)
+        if arate > 0:
+            keep = _keep(seed, 1 + i, probs.shape, arate)
+            probs = jnp.where(keep, probs / (1.0 - arate), 0.0)
+        outs.append(jnp.einsum("bft,btd->bfd", probs, vh))
+    ctx_out = jnp.concatenate(outs, axis=-1).reshape(b * f, h)
+    o = ctx_out @ wo + bo
+    if hrate > 0:
+        keep = _keep(seed, 0, o.shape, hrate)
+        o = jnp.where(keep, o / (1.0 - hrate), 0.0)
+    return _ln(o + x2d, gamma, beta).reshape(b, f, h)
+
+
+@pytest.fixture(scope="module")
+def cross_args():
+    r = np.random.default_rng(3)
+    f = lambda *s: jnp.asarray(r.standard_normal(s).astype(np.float32) * 0.3)
+    bias = jnp.where(jnp.arange(T)[None, :] < 3, 0.0, -10000.0) * jnp.ones((B, 1))
+    return (
+        f(B, S, H), f(B, T, H), f(H, H), f(H), f(H, 2 * H), f(2 * H),
+        f(H, H), f(H), 1.0 + 0.1 * f(H), 0.1 * f(H),
+        jnp.array([31337], jnp.int32), bias,
+    )
+
+
+@pytest.mark.parametrize("rates", [(0.0, 0.0), (0.2, 0.1)])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_cross_train_fwd_matches_reference(cross_args, rates, with_bias):
+    (x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed, bias) = cross_args
+    arate, hrate = rates
+    b = bias if with_bias else None
+    got = cross_attention_block_train(
+        x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta, N, seed, bias=b,
+        attn_dropout_rate=arate, hidden_dropout_rate=hrate,
+        block_b=B, interpret=True,
+    )
+    want = ref_cross(x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed,
+                     arate, hrate, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("rates", [(0.0, 0.0), (0.2, 0.1)])
+def test_cross_train_grads_match_reference(cross_args, rates):
+    (x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed, bias) = cross_args
+    arate, hrate = rates
+    cvec = jnp.asarray(
+        np.random.default_rng(8).standard_normal((B, S, H)).astype(np.float32)
+    )
+
+    def loss_fused(x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta):
+        y = cross_attention_block_train(
+            x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta, N, seed, bias=bias,
+            attn_dropout_rate=arate, hidden_dropout_rate=hrate,
+            block_b=B, interpret=True,
+        )
+        return jnp.sum(y * cvec)
+
+    def loss_ref(x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta):
+        y = ref_cross(x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed,
+                      arate, hrate, bias)
+        return jnp.sum(y * cvec)
+
+    names = ["x", "ctx", "wq", "bq", "wkv", "bkv", "wo", "bo", "gamma", "beta"]
+    args = (x, c, wq, bq, wkv, bkv, wo, bo, gamma, beta)
+    got = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
     for g, w, name in zip(got, want, names):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=5e-4, rtol=1e-3,

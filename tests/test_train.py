@@ -261,6 +261,64 @@ def test_lxmert_mlm_and_am_losses():
     assert not np.allclose(np.asarray(gw_am), 0.0)
 
 
+def test_lxmert_fused_train_path_matches_xla_grads():
+    """Whole-model check of the fused training kernels in situ: with dropout
+    zeroed (so hash vs threefry masks cannot differ), LXMERT's training-mode
+    gradients through the custom-VJP Pallas blocks (interpret) must match
+    the unfused XLA path -- this exercises the cross-attention train kernel
+    inside the x-layers plus the no-remat scan policy."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import lxmert
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.lxmert import (
+        LxmertConfig,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_train import (
+        train_fused,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train.trainer import (
+        make_loss_fn,
+    )
+
+    cfg = TINY.replace(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    lcfg = LxmertConfig(bert=cfg, l_layers=2, x_layers=2, r_layers=2)
+    spec = ModelSpec(
+        "lxmert",
+        lcfg,
+        init=lambda rng: lxmert.init_params(rng, lcfg),
+        apply=lxmert.apply,
+        featurizer_layout="lxmert",
+    )
+    params = spec.init_params(jax.random.key(0))
+    rng = np.random.default_rng(2)
+    B = 4
+    nq = rng.integers(3, 24, (B,))
+    nb = rng.integers(1, 11, (B,))
+    batch = {
+        "input_ids": rng.integers(0, cfg.vocab_size, (B, 23)).astype(np.int32),
+        "input_mask": (np.arange(23)[None] < nq[:, None]).astype(np.int32),
+        "label_ids": rng.integers(0, cfg.vocab_size, (B, 10, 8)).astype(np.int32),
+        "label_mask": np.ones((B, 10, 8), np.int32),
+        "boxes": rng.standard_normal((B, 10, 4)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+        "feats_mask": (np.arange(10)[None] < nb[:, None]).astype(np.float32),
+        "labels": rng.integers(0, 2, (B,)).astype(np.int32),
+    }
+    lf = make_loss_fn(spec, TrainConfig(), Precision.f32())
+    key = jax.random.key(7)
+    grad_fn = jax.grad(lambda p: lf(p, batch, key)[0])
+    with train_fused("off"):
+        g_xla = grad_fn(params)
+    with train_fused("interpret"):
+        g_fused = grad_fn(params)
+    flat_x, _ = jax.tree_util.tree_flatten_with_path(g_xla)
+    flat_f = jax.tree.leaves(g_fused)
+    assert len(flat_x) == len(flat_f)
+    for (path, gx), gf in zip(flat_x, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=2e-4, rtol=2e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
 def test_word_match_loss_for_imagebert_b():
     """The default-off word-match auxiliary loss (model_triple.py:108-160,
     shipped commented out) trains through the full step when enabled."""
