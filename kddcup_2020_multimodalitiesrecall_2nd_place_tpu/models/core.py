@@ -349,6 +349,67 @@ def attention_block(
     )
 
 
+def dual_cross_attention_blocks(
+    p: Params,
+    l: jax.Array,
+    v: jax.Array,
+    lang_bias: jax.Array | None,
+    visn_bias: jax.Array | None,
+    cfg: BertConfig,
+    prec: Precision,
+    l_rngs: tuple | None = None,
+    v_rngs: tuple | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Both shared-weight cross directions of an LXMERT x-layer
+    (``lxmert/src/lxrt/modeling.py:460-464`` applies ONE visual_attention
+    module lang<-visn and visn<-lang). ``KMR_DUAL_CROSS=1`` fuses the two
+    directions into one kernel launch on the packed inference backend (each
+    stream read from HBM once instead of twice); default is the two
+    attention_block calls -- the fused launch measured 0.8% SLOWER
+    whole-model on v5e (docs/BENCH.md round-3 fusion table), the halved
+    stream reads don't pay for the deeper per-step VMEM working set."""
+
+    def _compact(b):
+        return b is None or (b.ndim == 4 and b.shape[1] == 1 and b.shape[2] == 1)
+
+    import os
+
+    if (
+        packed_attention_active()
+        and os.environ.get("KMR_DUAL_CROSS", "0") == "1"
+        and l_rngs is None
+        and v_rngs is None
+        and "kernel" in p["query"]
+        and _compact(lang_bias)
+        and _compact(visn_bias)
+        and (lang_bias is None) == (visn_bias is None)
+    ):
+        from ..ops.pallas_attention import dual_cross_attention_block_pallas
+
+        wkv = jnp.concatenate([p["key"]["kernel"], p["value"]["kernel"]], axis=1)
+        bkv = jnp.concatenate([p["key"]["bias"], p["value"]["bias"]])
+        b = l.shape[0]
+        return dual_cross_attention_block_pallas(
+            l.astype(prec.compute_dtype),
+            v.astype(prec.compute_dtype),
+            p["query"]["kernel"],
+            p["query"]["bias"],
+            wkv,
+            bkv,
+            p["output"]["dense"]["kernel"],
+            p["output"]["dense"]["bias"],
+            p["output"]["LayerNorm"]["gamma"],
+            p["output"]["LayerNorm"]["beta"],
+            cfg.num_attention_heads,
+            lang_bias=None if lang_bias is None else lang_bias.reshape(b, l.shape[1]),
+            visn_bias=None if visn_bias is None else visn_bias.reshape(b, v.shape[1]),
+        )
+    return (
+        attention_block(p, l, v, visn_bias, cfg, prec, l_rngs),
+        attention_block(p, v, l, lang_bias, cfg, prec, v_rngs),
+    )
+
+
 # --------------------------------------------------------------------------
 # feed-forward block
 # --------------------------------------------------------------------------
@@ -447,6 +508,66 @@ def encoder_init(rng, cfg: BertConfig, num_layers: int | None = None) -> Params:
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
 
 
+def fused_encoder_layer(
+    att_p: Params,
+    ffn_p: Params,
+    x: jax.Array,
+    bias: jax.Array | None,
+    cfg: BertConfig,
+    prec: Precision,
+    act: str | None = None,
+) -> jax.Array | None:
+    """Whole layer (self-attn block + FFN block) in ONE kernel launch when
+    ``KMR_FUSED_LAYER=1`` and the packed inference backend is active; None ->
+    caller falls back to the two-kernel path (the default: whole-model the
+    fused launch measured 1.4-6.4% SLOWER on v5e -- the FFN half runs at
+    81% MFU with its own block size and double-buffering depth, and fusing
+    drags it down to the attention half's constraints; docs/BENCH.md)."""
+    import os
+
+    act_name = act or cfg.hidden_act
+    if not (
+        packed_attention_active()
+        and os.environ.get("KMR_FUSED_LAYER", "0") == "1"
+        and "kernel" in att_p["query"]
+        and "kernel" in ffn_p["intermediate"]
+        and act_name in ("gelu", "gelu_erf")
+        and x.ndim == 3
+        and (
+            bias is None
+            or (bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1)
+        )
+    ):
+        return None
+    from ..ops.pallas_layer import encoder_layer_pallas
+
+    qkv_kernel = jnp.concatenate(
+        [att_p["query"]["kernel"], att_p["key"]["kernel"], att_p["value"]["kernel"]],
+        axis=1,
+    )
+    qkv_bias = jnp.concatenate(
+        [att_p["query"]["bias"], att_p["key"]["bias"], att_p["value"]["bias"]]
+    )
+    return encoder_layer_pallas(
+        x.astype(prec.compute_dtype),
+        qkv_kernel,
+        qkv_bias,
+        att_p["output"]["dense"]["kernel"],
+        att_p["output"]["dense"]["bias"],
+        att_p["output"]["LayerNorm"]["gamma"],
+        att_p["output"]["LayerNorm"]["beta"],
+        ffn_p["intermediate"]["kernel"],
+        ffn_p["intermediate"]["bias"],
+        ffn_p["output"]["dense"]["kernel"],
+        ffn_p["output"]["dense"]["bias"],
+        ffn_p["output"]["LayerNorm"]["gamma"],
+        ffn_p["output"]["LayerNorm"]["beta"],
+        cfg.num_attention_heads,
+        bias,
+        approximate_gelu=(act_name == "gelu"),
+    )
+
+
 def encoder_layer(
     p: Params,
     x: jax.Array,
@@ -458,6 +579,10 @@ def encoder_layer(
 ) -> jax.Array:
     a_rngs = rngs[:2] if rngs else None
     f_rng = rngs[2] if rngs else None
+    if rngs is None:
+        fused = fused_encoder_layer(p["attention"], p["ffn"], x, bias, cfg, prec, act)
+        if fused is not None:
+            return fused
     x = attention_block(p["attention"], x, x, bias, cfg, prec, a_rngs)
     return ffn_block(p["ffn"], x, cfg, prec, act=act, hid_rng=f_rng)
 

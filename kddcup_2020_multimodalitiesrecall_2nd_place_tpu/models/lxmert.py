@@ -40,11 +40,13 @@ from .core import (
     dense,
     dense_init,
     dropout,
+    dual_cross_attention_blocks,
     embeddings_init,
     encoder,
     encoder_init,
     ffn_block,
     ffn_init,
+    fused_encoder_layer,
     layer_norm,
     layer_norm_init,
     pooler,
@@ -286,12 +288,26 @@ def apply(
         else:
             rng_of = lambda i: (None, None)
         # shared cross-attention module, both directions (modeling.py:460-464)
-        l2 = attention_block(lp["visual_attention"], l, v, visn_bias, cfg, prec, rng_of(0)[0])
-        v2 = attention_block(lp["visual_attention"], v, l, lang_bias, cfg, prec, rng_of(1)[0])
-        l3 = attention_block(lp["lang_self_att"], l2, l2, lang_bias, cfg, prec, rng_of(2)[0])
-        v3 = attention_block(lp["visn_self_att"], v2, v2, visn_bias, cfg, prec, rng_of(3)[0])
-        l4 = ffn_block(lp["lang_ffn"], l3, cfg, prec, act=ACT, hid_rng=rng_of(4)[1])
-        v4 = ffn_block(lp["visn_ffn"], v3, cfg, prec, act=ACT, hid_rng=rng_of(5)[1])
+        # -- fused into one dual-direction kernel launch at inference
+        l2, v2 = dual_cross_attention_blocks(
+            lp["visual_attention"], l, v, lang_bias, visn_bias, cfg, prec,
+            rng_of(0)[0], rng_of(1)[0],
+        )
+        # self-attn + FFN per stream: one fused layer launch at inference
+        l4 = v4 = None
+        if r is None:
+            l4 = fused_encoder_layer(
+                lp["lang_self_att"], lp["lang_ffn"], l2, lang_bias, cfg, prec, ACT
+            )
+            v4 = fused_encoder_layer(
+                lp["visn_self_att"], lp["visn_ffn"], v2, visn_bias, cfg, prec, ACT
+            )
+        if l4 is None:
+            l3 = attention_block(lp["lang_self_att"], l2, l2, lang_bias, cfg, prec, rng_of(2)[0])
+            l4 = ffn_block(lp["lang_ffn"], l3, cfg, prec, act=ACT, hid_rng=rng_of(4)[1])
+        if v4 is None:
+            v3 = attention_block(lp["visn_self_att"], v2, v2, visn_bias, cfg, prec, rng_of(3)[0])
+            v4 = ffn_block(lp["visn_ffn"], v3, cfg, prec, act=ACT, hid_rng=rng_of(5)[1])
         return (l4, v4, r)
 
     lang, visn, _ = _scan_stack(enc["x_layers"], x_layer, (lang, visn, x_rng), training)

@@ -303,12 +303,20 @@ def segment_sums(x, g: int, t: int):
 
 
 def packed_softmax(scores, g: int, t: int):
-    """Segmented softmax on [block, F, G*T] packed scores: the global max is
-    a safe stabiliser (exp <= 1 everywhere) and the per-segment denominator
-    comes from one block-diag-ones matmul."""
+    """Segmented softmax on [block, F, G*T] packed scores: the global max
+    stabilises against overflow (exp <= 1 everywhere) and the per-segment
+    denominator comes from one block-diag-ones matmul. A per-segment max
+    would need a lane relayout, so segments whose own max sits > ~88 below
+    the global max underflow to e == 0 on every lane; the clamped
+    denominator turns that 0/0 (which would NaN-contaminate ALL packed
+    heads through the 0*NaN PV matmul) into probs == 0. Exact whenever each
+    segment has a lane within f32-exp range of the global max -- always
+    true for trained-model logits and for -10000-masked lanes as long as
+    one live lane per segment exists (the data layer guarantees >=1 query
+    token / >=1 box)."""
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    return e / segment_sums(e, g, t)
+    return e / jnp.maximum(segment_sums(e, g, t), 1e-30)
 
 
 def tile_bias(bias, g: int):
@@ -791,6 +799,211 @@ def cross_attention_block_pallas(
         out_specs=pl.BlockSpec((block, f, h), xi, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, f, h), dtype),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(*args)
+
+
+# --------------------------------------------------------------------------
+# dual-direction cross-attention block: both directions of an LXMERT x-layer
+# (lang<-visn and visn<-lang share the SAME weights, modeling.py:460-464)
+# in ONE kernel launch
+# --------------------------------------------------------------------------
+
+
+def _dual_cross_kernel(
+    l_ref, v_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+    gamma_ref, beta_ref, lbias_ref, vbias_ref, ol_ref, ov_ref,
+    *, num_heads, eps, headpack,
+):
+    """Both cross directions in one pass, one launch: the shared weights are
+    fetched from HBM once for both directions and each stream is read once
+    (each separate direction kernel reads BOTH streams, so the pair reads
+    them twice). Projections run per stream: row-slicing a concatenated
+    [block*(F+T), H] projection would hand pack_kv operands at sublane
+    offset F%%8, which Mosaic's lane-concat cannot relayout ("result/input
+    offset mismatch on non-concat dimension"); per-stream matmuls pad the
+    same rows (F,T -> multiples of 8) and keep every operand at offset 0."""
+    l = l_ref[:]  # [BLOCK, F, H] lang stream
+    v = v_ref[:]  # [BLOCK, T, H] visn stream
+    block, f, h = l.shape
+    t = v.shape[1]
+    dh = h // num_heads
+    scale = 1.0 / (dh**0.5)
+    l2d = l.reshape(block * f, h)
+    v2d = v.reshape(block * t, h)
+
+    def project(x2d, rows):
+        q = (
+            jax.lax.dot(x2d, wq_ref[:], preferred_element_type=jnp.float32)
+            + bq_ref[:].astype(jnp.float32)
+        ).astype(l.dtype).reshape(block, rows, h)
+        kv = (
+            jax.lax.dot(x2d, wkv_ref[:], preferred_element_type=jnp.float32)
+            + bkv_ref[:].astype(jnp.float32)
+        ).astype(l.dtype).reshape(block, rows, 2 * h)
+        return q, kv[..., :h], kv[..., h:]
+
+    ql, kl, vl = project(l2d, f)
+    qv, kn, vn = project(v2d, t)
+    lbias = vbias = None
+    if lbias_ref is not None:
+        # compact key-mask rows: lang-positions mask gates visn->lang keys
+        lbias = lbias_ref[:].astype(jnp.float32)[:, None, :]  # [BLOCK, 1, F]
+    if vbias_ref is not None:
+        vbias = vbias_ref[:].astype(jnp.float32)[:, None, :]  # [BLOCK, 1, T]
+    if headpack:
+        ctx_l = packed_heads_attention(ql, kn, vn, vbias, num_heads, scale, l.dtype)
+        ctx_v = packed_heads_attention(qv, kl, vl, lbias, num_heads, scale, l.dtype)
+    else:
+        def direction(qs, ks, vs, bias):
+            outs = []
+            for n in range(num_heads):
+                qh = qs[..., n * dh : (n + 1) * dh]
+                kh = ks[..., n * dh : (n + 1) * dh]
+                vh = vs[..., n * dh : (n + 1) * dh]
+                scores = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if bias is not None:
+                    scores = scores + bias
+                probs = jax.nn.softmax(scores, axis=-1).astype(l.dtype)
+                outs.append(
+                    jax.lax.dot_general(
+                        probs, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ).astype(l.dtype)
+                )
+            return jnp.concatenate(outs, axis=-1)
+
+        ctx_l = direction(ql, kn, vn, vbias)
+        ctx_v = direction(qv, kl, vl, lbias)
+
+    def out_ln(ctx, x2d, rows, o_ref):
+        o2d = (
+            jax.lax.dot(
+                ctx.reshape(block * rows, h), wo_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bo_ref[:].astype(jnp.float32)
+        )
+        y = o2d + x2d.astype(jnp.float32)
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + eps)
+        y = y * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+        o_ref[:] = y.reshape(block, rows, h).astype(o_ref.dtype)
+
+    out_ln(ctx_l, l2d, f, ol_ref)
+    out_ln(ctx_v, v2d, t, ov_ref)
+
+
+def _dual_cross_no_bias(
+    l_ref, v_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+    gamma_ref, beta_ref, ol_ref, ov_ref, *, num_heads, eps, headpack,
+):
+    _dual_cross_kernel(
+        l_ref, v_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wo_ref, bo_ref,
+        gamma_ref, beta_ref, None, None, ol_ref, ov_ref,
+        num_heads=num_heads, eps=eps, headpack=headpack,
+    )
+
+
+def dual_cross_attention_block_pallas(
+    l: jax.Array,  # [B, F, H] lang stream
+    v: jax.Array,  # [B, T, H] visn stream
+    wq: jax.Array,  # [H, H] shared query kernel
+    bq: jax.Array,
+    wkv: jax.Array,  # [H, 2H] shared (key ++ value) kernels
+    bkv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_heads: int,
+    lang_bias: jax.Array | None = None,  # compact lang key-mask rows [B, F]
+    visn_bias: jax.Array | None = None,  # compact visn key-mask rows [B, T]
+    eps: float = 1e-12,
+    block_b: int | None = None,
+    variant: str = "auto",  # "auto" | "loop" | "headpack"
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Both shared-weight cross directions of an LXMERT x-layer
+    (``lxmert/src/lxrt/modeling.py:460-464``) fused into one kernel launch:
+    returns (lang_out, visn_out). Biases must be None or compact key-mask
+    rows; each direction is masked by the OTHER stream's key positions.
+    Requires both biases present or both absent (the x-layer always has
+    both)."""
+    b, f, h = l.shape
+    t = v.shape[1]
+    if (lang_bias is None) != (visn_bias is None):
+        raise ValueError("dual cross kernel needs both biases or neither")
+    if variant == "auto":
+        variant = (
+            "headpack"
+            if max(headpack_group(num_heads, t), headpack_group(num_heads, f)) > 1
+            else "loop"
+        )
+    if block_b is None:
+        block_b = 32
+    block = min(block_b, b)
+    grid = (pl.cdiv(b, block),)
+    dtype = l.dtype
+
+    def xi(i):
+        return (i, 0, 0)
+
+    def const2(i):
+        return (0, 0)
+
+    def const1(i):
+        return (0,)
+
+    in_specs = [
+        pl.BlockSpec((block, f, h), xi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, t, h), xi, memory_space=pltpu.VMEM),
+        pl.BlockSpec(wq.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bq.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(wkv.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bkv.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(wo.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(bo.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(gamma.shape, const1, memory_space=pltpu.VMEM),
+        pl.BlockSpec(beta.shape, const1, memory_space=pltpu.VMEM),
+    ]
+    args = [l, v, wq.astype(dtype), bq, wkv.astype(dtype), bkv,
+            wo.astype(dtype), bo, gamma, beta]
+    if lang_bias is not None:
+        args += [lang_bias, visn_bias]
+        in_specs += [
+            pl.BlockSpec((block, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        kernel = functools.partial(
+            _dual_cross_kernel, num_heads=num_heads, eps=eps,
+            headpack=(variant == "headpack"),
+        )
+    else:
+        kernel = functools.partial(
+            _dual_cross_no_bias, num_heads=num_heads, eps=eps,
+            headpack=(variant == "headpack"),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((block, f, h), xi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, t, h), xi, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, f, h), dtype),
+            jax.ShapeDtypeStruct((b, t, h), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*args)
 

@@ -928,17 +928,17 @@ def attention_block_train(
     single-packed-output-dim backward products (dprobs/ds/dq) but keeps
     dk/dv per head -- dropout masks are drawn with the same per-head
     order/shapes in every variant, so all three train bit-identically given
-    the same seed. Default OFF (env KMR_TRAIN_HEADPACK=1|mixed overrides):
-    measured on v5e the all-packed TRAIN step is ~5% slower at S=40
-    (A: 4,096 -> 3,876 pairs/s at B=1024) -- the backward's dk/dv packed
-    products pay G^2 MACs for G useful diagonal blocks, which outweighs the
-    softmax-lane win that makes packing profitable at inference; "mixed"
-    removes exactly that product (measurement in docs/BENCH.md)."""
+    the same seed. Default ON (env KMR_TRAIN_HEADPACK=0|mixed overrides):
+    in 3 interleaved reps on v5e full packing won every paired comparison
+    (A: 3,846 -> 4,157 median pairs/s at B=1024, +8%; LXMERT: 1,833 ->
+    2,051, +12%; "mixed" lands between) -- an earlier -5% reading for the
+    all-packed variant predated dropping the outer scan remat (which ran
+    every forward kernel twice) and did not reproduce (docs/BENCH.md)."""
     if headpack is None:
         import os
 
         env = os.environ.get("KMR_TRAIN_HEADPACK", "")
-        headpack = "mixed" if env == "mixed" else env == "1"
+        headpack = "mixed" if env == "mixed" else env != "0"
     spec = AttnTrainSpec(
         num_heads=num_heads,
         attn_dropout_rate=float(attn_dropout_rate),

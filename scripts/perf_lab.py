@@ -13,6 +13,7 @@ Subcommands (each prints one JSON line per measurement):
   ffn    <S> [B]            FFN-block kernel block_b sweep at seq S
   cross  <F> <T> [B]        cross-attention-block block_b sweep
   cross_hp <F> <T> [B]      head-packed cross-attention sweep
+  dualcross <F> <T> [B] [variant]  fused dual-direction x-layer cross pair
   int8   [M K N]            int8 vs bf16 MXU rate + quantised dense layer
   trace  <name> <B> <dir>   jax.profiler capture around scoring steps
 
@@ -451,6 +452,48 @@ def cmd_cross(F: int, T: int, B: int, variant: str = "loop"):
             _emit(cmd="cross", F=F, T=T, B=B, block=block, error=str(e)[:120])
 
 
+def cmd_dualcross(F: int, T: int, B: int, variant: str = "auto"):
+    """Fused dual-direction x-layer cross pair (one launch) vs the two
+    separate direction kernels it replaces (compare with `cross`/`cross_hp`
+    at F<-T and T<-F)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
+        dual_cross_attention_block_pallas,
+    )
+
+    H, N = 768, 12
+    dt = jnp.bfloat16
+    l = _rand((B, F, H), dt)
+    v = _rand((B, T, H), dt, 9)
+    wq, bq = _rand((H, H), dt, 1), _rand((H,), jnp.float32, 2)
+    wkv, bkv = _rand((H, 2 * H), dt, 3), _rand((2 * H,), jnp.float32, 4)
+    wo, bo = _rand((H, H), dt, 5), _rand((H,), jnp.float32, 6)
+    g, be = _rand((H,), jnp.float32, 7), _rand((H,), jnp.float32, 8)
+    rng = np.random.default_rng(7)
+    lbias = jax.device_put(
+        -10000.0 * (rng.random((B, F)) < 0.3).astype(np.float32)
+    )
+    vbias = jax.device_put(
+        -10000.0 * (rng.random((B, T)) < 0.3).astype(np.float32)
+    )
+    blocks = (8, 16, 32, 64)
+    if os.environ.get("KMR_BLOCKS"):
+        blocks = tuple(int(b) for b in os.environ["KMR_BLOCKS"].split(","))
+    for block in blocks:
+        try:
+            f = _looped(
+                lambda lv, block=block: dual_cross_attention_block_pallas(
+                    lv[0], lv[1], wq, bq, wkv, bkv, wo, bo, g, be, N,
+                    lang_bias=lbias, visn_bias=vbias,
+                    block_b=block, variant=variant,
+                )
+            )
+            t = _time(f, (l, v)) / LOOP_N
+            _emit(cmd="dualcross", F=F, T=T, B=B, block=block, variant=variant,
+                  ms=round(t * 1e3, 3))
+        except Exception as e:  # noqa: BLE001
+            _emit(cmd="dualcross", F=F, T=T, B=B, block=block, error=str(e)[:120])
+
+
 def main():
     cmd = sys.argv[1]
     a = sys.argv[2:]
@@ -510,6 +553,9 @@ def main():
     elif cmd == "cross_hp":
         cmd_cross(int(a[0]), int(a[1]), int(a[2]) if len(a) > 2 else 8192,
                   variant="headpack")
+    elif cmd == "dualcross":
+        cmd_dualcross(int(a[0]), int(a[1]), int(a[2]) if len(a) > 2 else 8192,
+                      variant=a[3] if len(a) > 3 else "auto")
     else:
         raise SystemExit(f"unknown cmd {cmd}")
 

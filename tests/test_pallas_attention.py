@@ -207,6 +207,88 @@ def test_fused_cross_attention_block_matches_unfused(with_bias, variant):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-3)
 
 
+@pytest.mark.parametrize("variant", ["loop", "headpack"])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_dual_cross_attention_block_matches_two_unfused(with_bias, variant):
+    """One dual-direction launch == two shared-weight attention_blocks
+    (the LXMERT x-layer cross pair, modeling.py:460-464)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
+        BertConfig,
+        Precision,
+        attention_block,
+        attention_block_init,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
+        dual_cross_attention_block_pallas,
+    )
+
+    cfg = BertConfig(vocab_size=50, hidden_size=64, num_hidden_layers=1,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=64)
+    p = attention_block_init(jax.random.key(7), cfg)
+    b, f, t = 4, 23, 10
+    ks = jax.random.split(jax.random.key(8), 4)
+    lang = jax.random.normal(ks[0], (b, f, cfg.hidden_size), jnp.float32)
+    visn = jax.random.normal(ks[1], (b, t, cfg.hidden_size), jnp.float32)
+    lbias = vbias = None
+    if with_bias:
+        lmask = (jax.random.uniform(ks[2], (b, 1, 1, f)) > 0.3).astype(jnp.float32)
+        vmask = (jax.random.uniform(ks[3], (b, 1, 1, t)) > 0.3).astype(jnp.float32)
+        lbias = (1.0 - lmask) * -10000.0
+        vbias = (1.0 - vmask) * -10000.0
+    prec = Precision.f32()
+    ref_l = attention_block(p, lang, visn, vbias, cfg, prec)
+    ref_v = attention_block(p, visn, lang, lbias, cfg, prec)
+    wkv = jnp.concatenate([p["key"]["kernel"], p["value"]["kernel"]], axis=1)
+    bkv = jnp.concatenate([p["key"]["bias"], p["value"]["bias"]])
+    got_l, got_v = dual_cross_attention_block_pallas(
+        lang, visn, p["query"]["kernel"], p["query"]["bias"], wkv, bkv,
+        p["output"]["dense"]["kernel"], p["output"]["dense"]["bias"],
+        p["output"]["LayerNorm"]["gamma"], p["output"]["LayerNorm"]["beta"],
+        cfg.num_attention_heads,
+        lang_bias=None if lbias is None else lbias.reshape(b, f),
+        visn_bias=None if vbias is None else vbias.reshape(b, t),
+        block_b=2, variant=variant, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v), atol=5e-5, rtol=1e-3)
+
+
+def test_packed_softmax_extreme_spread_no_nan():
+    """The global-max stabiliser underflows whole segments when one head's
+    scores dwarf another's (> ~88 apart in f32): the clamped denominator
+    must yield finite probs (0 for the dead segment) instead of the 0/0
+    NaN that contaminated every packed head through the 0*NaN PV matmul
+    (found on-device with synthetic std-normal weights, scores ~ +-3700)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
+        packed_heads_attention,
+        packed_softmax,
+    )
+
+    g, t, block, f = 2, 8, 2, 4
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.standard_normal((block, f, g * t)), jnp.float32)
+    # head 0's segment sits 1000 above head 1's -> head 1 fully underflows
+    scores = scores + jnp.concatenate(
+        [jnp.full((block, f, t), 1000.0), jnp.zeros((block, f, t))], axis=-1
+    )
+    probs = packed_softmax(scores, g, t)
+    assert bool(jnp.all(jnp.isfinite(probs)))
+    # live segment still an exact softmax; dead segment clamps to 0
+    ref = jax.nn.softmax(scores[..., :t], axis=-1)
+    np.testing.assert_allclose(np.asarray(probs[..., :t]), np.asarray(ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(probs[..., t:]), 0.0, atol=1e-25)
+
+    # end-to-end: huge-magnitude q/k must not NaN any head's context
+    n, dh = 4, 16
+    h = n * dh
+    q = jnp.asarray(100.0 * rng.standard_normal((block, f, h)), jnp.float32)
+    k = jnp.asarray(100.0 * rng.standard_normal((block, t, h)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((block, t, h)), jnp.float32)
+    ctx = packed_heads_attention(q, k, v, None, n, 1.0 / (dh**0.5), jnp.float32)
+    assert bool(jnp.all(jnp.isfinite(ctx)))
+
+
 def test_headpack_group_selection():
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_attention import (
         headpack_group,

@@ -20,8 +20,39 @@ if RUN:  # force default platform (conftest pinned CPU otherwise)
     jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "axon"))
 
 
-@pytest.mark.parametrize("name", ["imagebert_a", "imagebert_b", "lxmert"])
-def test_packed_backend_matches_xla_on_device(name):
+def _model_batch(name, spec, B, rng):
+    if name == "lxmert":
+        nb = rng.integers(1, 11, (B,))
+        nq = rng.integers(3, 24, (B,))
+        v = spec.config.bert.vocab_size
+        return {
+            "input_ids": rng.integers(0, v, (B, 23)).astype(np.int32),
+            "input_mask": (np.arange(23)[None] < nq[:, None]).astype(np.int32),
+            "label_ids": rng.integers(0, v, (B, 10, 8)).astype(np.int32),
+            "label_mask": np.ones((B, 10, 8), np.int32),
+            "boxes": rng.standard_normal((B, 10, 4)).astype(np.float32),
+            "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+            "feats_mask": (np.arange(10)[None] < nb[:, None]).astype(np.float32),
+        }
+    batch = {
+        "input_ids": rng.integers(0, spec.config.vocab_size, (B, 20)).astype(np.int32),
+        "segment_ids": (
+            np.zeros((B, 20), np.int32)
+            if name == "imagebert_a"
+            else np.array([[0] * 20 + [1] * 10] * B, np.int32)
+        ),
+        "boxes": rng.standard_normal((B, 10, 5)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+        "label_ids": rng.integers(0, spec.config.vocab_size, (B, 10, 8)).astype(np.int32),
+    }
+    if name == "imagebert_b":
+        batch["len_query"] = rng.integers(3, 21, (B,)).astype(np.int32)
+        batch["num_boxes"] = rng.integers(1, 11, (B,)).astype(np.int32)
+        batch["labels"] = np.ones((B,), np.int32)
+    return batch
+
+
+def _packed_vs_xla(name, env=()):
     import jax
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
@@ -37,38 +68,7 @@ def test_packed_backend_matches_xla_on_device(name):
         lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x,
         spec.init_params(jax.random.key(0)),
     )
-    rng = np.random.default_rng(0)
-    B = 256
-    if name == "lxmert":
-        nb = rng.integers(1, 11, (B,))
-        nq = rng.integers(3, 24, (B,))
-        v = spec.config.bert.vocab_size
-        batch = {
-            "input_ids": rng.integers(0, v, (B, 23)).astype(np.int32),
-            "input_mask": (np.arange(23)[None] < nq[:, None]).astype(np.int32),
-            "label_ids": rng.integers(0, v, (B, 10, 8)).astype(np.int32),
-            "label_mask": np.ones((B, 10, 8), np.int32),
-            "boxes": rng.standard_normal((B, 10, 4)).astype(np.float32),
-            "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
-            "feats_mask": (np.arange(10)[None] < nb[:, None]).astype(np.float32),
-        }
-    else:
-        batch = {
-            "input_ids": rng.integers(0, spec.config.vocab_size, (B, 20)).astype(np.int32),
-            "segment_ids": (
-                np.zeros((B, 20), np.int32)
-                if name == "imagebert_a"
-                else np.array([[0] * 20 + [1] * 10] * B, np.int32)
-            ),
-            "boxes": rng.standard_normal((B, 10, 5)).astype(np.float32),
-            "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
-            "label_ids": rng.integers(0, spec.config.vocab_size, (B, 10, 8)).astype(np.int32),
-        }
-        if name == "imagebert_b":
-            batch["len_query"] = rng.integers(3, 21, (B,)).astype(np.int32)
-            batch["num_boxes"] = rng.integers(1, 11, (B,)).astype(np.int32)
-            batch["labels"] = np.ones((B,), np.int32)
-    batch = jax.device_put(batch)
+    batch = jax.device_put(_model_batch(name, spec, 256, np.random.default_rng(0)))
 
     scores = {}
     for backend in ("xla", "pallas_packed"):
@@ -77,6 +77,27 @@ def test_packed_backend_matches_xla_on_device(name):
                 lambda p, b: spec.apply(p, b, spec.config, Precision.bf16())["score"]
             )
             scores[backend] = np.asarray(f(params, batch)).astype(np.float32)
-    np.testing.assert_allclose(
-        scores["pallas_packed"], scores["xla"], atol=2e-2
-    )
+    np.testing.assert_allclose(scores["pallas_packed"], scores["xla"], atol=2e-2)
+
+
+@pytest.mark.parametrize("name", ["imagebert_a", "imagebert_b", "lxmert"])
+def test_packed_backend_matches_xla_on_device(name):
+    _packed_vs_xla(name)
+
+
+@pytest.mark.parametrize(
+    "name,env",
+    [
+        ("imagebert_a", ("KMR_FUSED_LAYER",)),
+        ("lxmert", ("KMR_FUSED_LAYER",)),
+        ("lxmert", ("KMR_DUAL_CROSS",)),
+        ("lxmert", ("KMR_FUSED_LAYER", "KMR_DUAL_CROSS")),
+    ],
+)
+def test_optin_fusion_matches_xla_on_device(name, env, monkeypatch):
+    """The measured-negative fused-layer / dual-cross kernels stay opt-in
+    (docs/BENCH.md round-3 fusion table); keep their model-level wiring
+    correctness-covered on device."""
+    for var in env:
+        monkeypatch.setenv(var, "1")
+    _packed_vs_xla(name, env)
