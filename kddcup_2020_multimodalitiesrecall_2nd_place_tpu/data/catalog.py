@@ -41,12 +41,19 @@ def build_catalog(
     out_dir,
     shard_size: int = 262_144,
     embedding_dtype=np.float16,
+    label_tokenizer: str = "google",
 ) -> dict:
     """Stream ``{"product_id", "embedding", ...}`` dicts into packed shards.
 
     Extra keys (e.g. the rerank features ``boxes/features/label_ids/
     num_boxes``) are stored as additional fields; ``features`` is halved to
     float16 by the underlying writer. Returns the manifest.
+
+    ``label_tokenizer`` records which WordPiece lineage the stored
+    ``label_ids`` were built with ("google" = ImageBERT lineage, "hf" =
+    LXMERT lineage; the two differ on never-split tokens and >100-char
+    words) so the rerank stage can verify it matches the cross-encoder --
+    see ``rerank_batch``.
     """
 
     def cast(ex):
@@ -55,7 +62,8 @@ def build_catalog(
         return ex
 
     return write_packed_shards(
-        (cast(e) for e in entries), out_dir, shard_size=shard_size
+        (cast(e) for e in entries), out_dir, shard_size=shard_size,
+        meta={"label_tokenizer": label_tokenizer},
     )
 
 
@@ -84,16 +92,28 @@ class CatalogDataset(PackedDataset):
             start += emb.shape[0]
 
     def rows(self, idx: np.ndarray) -> dict:
-        """Gather arbitrary global rows (the rerank stage's feature fetch)."""
+        """Gather arbitrary global rows (the rerank stage's feature fetch).
+
+        Vectorized: ONE searchsorted for the global->shard split plus one
+        fancy-index gather per (shard, field), with each shard's reads in
+        ascending row order (memmap-page friendly). A per-row python loop
+        costs ~10us/row on a 1-core host -- at cascade scale (512 queries x
+        k_recall=500 = 256k gathered rows) that alone would dominate the
+        stage."""
         bounds = np.cumsum([0] + list(self.shard_sizes))
-        out: dict[str, list] = {f: [] for f in self.fields}
-        flat = np.asarray(idx).reshape(-1)
-        for i in flat:
-            si = int(np.searchsorted(bounds, i, side="right") - 1)
-            local = int(i - bounds[si])
-            for f in self.fields:
-                out[f].append(self._maps[si][f][local])
-        batch = {f: np.stack(v, axis=0) for f, v in out.items()}
+        flat = np.asarray(idx, np.int64).reshape(-1)
+        shard_of = np.searchsorted(bounds, flat, side="right") - 1
+        local = flat - bounds[shard_of]
+        batch: dict[str, np.ndarray] = {}
+        for f in self.fields:
+            m0 = self._maps[0][f]
+            dest = np.empty((flat.shape[0], *m0.shape[1:]), m0.dtype)
+            for s, m in enumerate(self._maps):
+                sel = np.nonzero(shard_of == s)[0]
+                if sel.size:
+                    sel = sel[np.argsort(local[sel], kind="stable")]
+                    dest[sel] = m[f][local[sel]]
+            batch[f] = dest
         if "features" in batch and batch["features"].dtype != np.float32:
             batch["features"] = batch["features"].astype(np.float32)
         return batch
@@ -160,7 +180,11 @@ def rerank_batch(
     (`imagebert_lds/src/pixelmodel.py:189-195` / `imagebert_zk/
     model_triple.py:198-201` / `lxmert/src/tasks/kdd_data.py:88-108`
     semantics), so scores match the TSV featurization path bit-for-bit
-    (modulo the catalog's float16 feature storage).
+    (modulo the catalog's float16 feature storage, and provided the
+    catalog's stored ``label_ids`` were tokenized with the cross-encoder's
+    WordPiece lineage -- the manifest records it as ``label_tokenizer`` and
+    ``scripts/cascade.py`` warns on a mismatch; "google" and "hf" differ on
+    never-split literals and >100-char words in label text).
     """
     from .featurize import SEGMENT_IDS_B
     from .tsv import MAX_BOXES, MAX_QUERY_LEN_AB, MAX_QUERY_LEN_L, pad_1d, row_mask

@@ -36,9 +36,12 @@ def write_packed_shards(
     shard_size: int = 65536,
     feature_dtype=np.float16,
     max_instances: int | None = None,
+    meta: dict | None = None,
 ) -> dict:
     """Drain an example iterator (e.g. ``HardNegativeSampler.examples``)
-    into per-field .npy shards + a manifest. Returns the manifest dict."""
+    into per-field .npy shards + a manifest. Returns the manifest dict.
+    ``meta``: extra JSON-able key/values recorded in the manifest (e.g. the
+    tokenizer lineage the label_ids were built with)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     shards: list[int] = []
@@ -74,6 +77,7 @@ def write_packed_shards(
         "shard_sizes": shards,
         "fields": fields,
         "feature_dtype": str(np.dtype(feature_dtype)) if feature_dtype else None,
+        **(meta or {}),
     }
     (out / MANIFEST).write_text(json.dumps(manifest, indent=1))
     return manifest

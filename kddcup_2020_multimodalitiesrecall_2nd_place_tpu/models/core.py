@@ -496,6 +496,34 @@ def ffn_block(
 # --------------------------------------------------------------------------
 
 
+def bias_compact(bias) -> bool:
+    """True for the [B, 1, 1, S] additive key-mask layout the fused kernels
+    accept (or no bias at all)."""
+    return bias is None or (
+        bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+    )
+
+
+def train_blocks_fused(att_p: Params, ffn_p: Params, bias, act_name: str) -> bool:
+    """True iff attention_block AND ffn_block will take the fused custom-VJP
+    train path for these (params, bias, act) -- the mirror of their gating
+    above. encoder() / lxmert._scan_stack use this to decide per-layer
+    remat: remat is REQUIRED on the XLA fallback (~40G HBM otherwise) and
+    HARMFUL on the fused path (every forward kernel would run twice), so
+    the decision must track the actual block path, not train_fused_mode()
+    alone."""
+    from ..ops.pallas_train import train_fused_mode
+
+    if train_fused_mode() == "off":
+        return False
+    return (
+        bias_compact(bias)
+        and "kernel" in att_p["query"]
+        and "kernel" in ffn_p["intermediate"]
+        and act_name in ("gelu", "gelu_erf")
+    )
+
+
 def encoder_layer_init(rng, cfg: BertConfig) -> Params:
     k1, k2 = jax.random.split(rng)
     return {"attention": attention_block_init(k1, cfg), "ffn": ffn_init(k2, cfg)}
@@ -616,11 +644,15 @@ def encoder(
     # recompute). The fused train path (ops/pallas_train.py) skips it: the
     # custom-VJP blocks recompute their own intermediates in VMEM, so the
     # only per-layer residuals are the [B, S, H] block inputs, and an
-    # outer remat would just run every forward kernel twice.
+    # outer remat would just run every forward kernel twice. The decision
+    # tracks whether the blocks WILL fuse (train_blocks_fused), not just
+    # train_fused_mode(): a config the per-block gates reject (exotic act,
+    # non-compact bias, int8 param dicts) falls back to XLA blocks and
+    # must keep its remat.
     if rng is not None:
-        from ..ops.pallas_train import train_fused_mode
-
-        if train_fused_mode() == "off":
+        if not train_blocks_fused(
+            p["attention"], p["ffn"], bias, act or cfg.hidden_act
+        ):
             body = jax.checkpoint(body)
     else:
         body = jax.checkpoint(body)

@@ -51,6 +51,7 @@ from .core import (
     layer_norm_init,
     pooler,
     pooler_init,
+    train_blocks_fused,
 )
 
 ACT = "gelu_erf"
@@ -182,7 +183,8 @@ def visual_encoder(
     return out
 
 
-def _scan_stack(stacked: Params, fn, init, training: bool = False):
+def _scan_stack(stacked: Params, fn, init, training: bool = False,
+                fused: bool = False):
     # per-layer remat, as in core.encoder: on the XLA train path the
     # backward otherwise saves all scan-stacked intermediates (train batch
     # 1024 needs ~39G of 15.75G HBM). On the fused train path every block
@@ -190,15 +192,13 @@ def _scan_stack(stacked: Params, fn, init, training: bool = False):
     # kernel that recomputes its own intermediates in VMEM, so only the
     # [B, S, H] block inputs are saved and an outer remat would just run
     # every forward kernel twice (core.encoder applies the same policy).
+    # ``fused`` is the caller's per-block gating result
+    # (core.train_blocks_fused), NOT train_fused_mode(): a config the block
+    # gates reject falls back to XLA blocks and must keep its remat.
     def body(carry, layer_p):
         return fn(carry, layer_p), None
 
-    if training:
-        from ..ops.pallas_train import train_fused_mode
-
-        if train_fused_mode() == "off":
-            body = jax.checkpoint(body)
-    else:
+    if not (training and fused):
         body = jax.checkpoint(body)
 
     out, _ = jax.lax.scan(body, init, stacked)
@@ -263,13 +263,18 @@ def apply(
     else:
         l_rng = r_rng = x_rng = None
     training = rng is not None
+    # will the training blocks actually take the fused custom-VJP path?
+    # (biases here are always compact [B,1,1,S]; ACT is gelu_erf)
+    fused_of = lambda stack: train_blocks_fused(
+        stack["attention"], stack["ffn"], lang_bias, ACT
+    )
     lang, _ = _scan_stack(
         enc["layer"], lang_layer, (lang.astype(prec.compute_dtype), l_rng),
-        training,
+        training, fused=fused_of(enc["layer"]),
     )
     visn, _ = _scan_stack(
         enc["r_layers"], visn_layer, (visn.astype(prec.compute_dtype), r_rng),
-        training,
+        training, fused=fused_of(enc["r_layers"]),
     )
 
     # Measured NEGATIVE (v5e, B=8192): merging the two shared-weight cross
@@ -310,7 +315,16 @@ def apply(
             v4 = ffn_block(lp["visn_ffn"], v3, cfg, prec, act=ACT, hid_rng=rng_of(5)[1])
         return (l4, v4, r)
 
-    lang, visn, _ = _scan_stack(enc["x_layers"], x_layer, (lang, visn, x_rng), training)
+    x_fused = (
+        train_blocks_fused(
+            enc["x_layers"]["lang_self_att"], enc["x_layers"]["lang_ffn"],
+            lang_bias, ACT,
+        )
+        and "kernel" in enc["x_layers"]["visual_attention"]["query"]
+    )
+    lang, visn, _ = _scan_stack(
+        enc["x_layers"], x_layer, (lang, visn, x_rng), training, fused=x_fused
+    )
 
     pooled = pooler(p["bert"]["pooler"], lang, prec)
     if use_am_head:

@@ -276,6 +276,18 @@ def _grid_check(b: int, block: int, what: str) -> int:
     return b // block
 
 
+def _pick_block(b: int, block_b: int) -> int:
+    """Largest block <= block_b that divides b. Dropout masks are drawn per
+    grid block (seeded by program_id), so the forward and backward kernels
+    must derive the IDENTICAL block size; both call this with the same
+    (b, spec.block_b). Odd batch sizes degrade to smaller blocks (worst
+    case 1 for prime b) instead of failing the old divisibility check."""
+    block = min(block_b, b)
+    while b % block:
+        block -= 1
+    return block
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _ffn_train(spec: FfnTrainSpec, x, w1, b1, w2, b2, gamma, beta, seed):
     y, _ = _ffn_train_fwd(spec, x, w1, b1, w2, b2, gamma, beta, seed)
@@ -284,7 +296,7 @@ def _ffn_train(spec: FfnTrainSpec, x, w1, b1, w2, b2, gamma, beta, seed):
 
 def _ffn_train_fwd(spec: FfnTrainSpec, x, w1, b1, w2, b2, gamma, beta, seed):
     b, s, h = x.shape
-    block = min(spec.block_b, b)
+    block = _pick_block(b, spec.block_b)
     n_blocks = _grid_check(b, block, "ffn_block_train")
     dt = x.dtype
     w1c, w2c = w1.astype(dt), w2.astype(dt)
@@ -312,7 +324,7 @@ def _ffn_train_bwd(spec: FfnTrainSpec, res, dy):
     x, w1, b1, w2, b2, gamma, seed = res
     b, s, h = x.shape
     i_dim = w1.shape[1]
-    block = min(spec.block_b, b)
+    block = _pick_block(b, spec.block_b)
     n_blocks = b // block
     dt = x.dtype
     w1c, w2c = w1.astype(dt), w2.astype(dt)
@@ -803,7 +815,7 @@ def _attn_train(spec, x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias):
 
 def _attn_train_fwd(spec, x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias):
     b, s, h = x.shape
-    block = min(spec.block_b, b)
+    block = _pick_block(b, spec.block_b)
     n_blocks = _grid_check(b, block, "attention_block_train")
     dt = x.dtype
     wqkvc, woc = wqkv.astype(dt), wo.astype(dt)
@@ -837,7 +849,7 @@ def _attn_train_fwd(spec, x, wqkv, bqkv, wo, bo, gamma, beta, seed, bias):
 def _attn_train_bwd(spec, res, dy):
     x, wqkv, bqkv, wo, bo, gamma, seed, bias = res
     b, s, h = x.shape
-    block = min(spec.block_b, b)
+    block = _pick_block(b, spec.block_b)
     n_blocks = b // block
     dt = x.dtype
     wqkvc, woc = wqkv.astype(dt), wo.astype(dt)
@@ -1202,7 +1214,7 @@ def _cross_train(spec, x, ctx, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed, bias
 def _cross_train_fwd(spec, x, ctx, wq, bq, wkv, bkv, wo, bo, gamma, beta, seed, bias):
     b, f, h = x.shape
     t = ctx.shape[1]
-    block = min(spec.block_b, b)
+    block = _pick_block(b, spec.block_b)
     n_blocks = _grid_check(b, block, "cross_attention_block_train")
     dt = x.dtype
     wqc, wkvc, woc = wq.astype(dt), wkv.astype(dt), wo.astype(dt)
@@ -1239,7 +1251,7 @@ def _cross_train_bwd(spec, res, dy):
     x, ctx, wq, bq, wkv, bkv, wo, bo, gamma, seed, bias = res
     b, f, h = x.shape
     t = ctx.shape[1]
-    block = min(spec.block_b, b)
+    block = _pick_block(b, spec.block_b)
     n_blocks = b // block
     dt = x.dtype
     wqc, wkvc, woc = wq.astype(dt), wkv.astype(dt), wo.astype(dt)

@@ -42,13 +42,23 @@ class ScoringStats:
 
 
 import warnings
+from contextlib import contextmanager
 
-# batch donation hands XLA the big f32 feature buffers for reuse; the int32
-# token-id leaves can never alias an f32 output, and jax warns about each.
-# That mixed-dtype donation is deliberate, so silence exactly that warning.
-warnings.filterwarnings(
-    "ignore", message="Some donated buffers were not usable"
-)
+
+@contextmanager
+def _quiet_partial_donation():
+    # batch donation hands XLA the big f32 feature buffers for reuse; the
+    # int32 token-id leaves can never alias an f32 output, and jax warns
+    # about each. That mixed-dtype donation is deliberate -- silence exactly
+    # that warning, scoped to THIS engine's dispatch (a process-wide filter
+    # installed at import would also hide genuine donation failures in
+    # unrelated jit call sites, e.g. a sharding mismatch silently doubling
+    # a training step's memory).
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable"
+        )
+        yield
 
 
 class ScoringEngine:
@@ -121,7 +131,7 @@ class ScoringEngine:
         }
         # the backend global is read at trace time; scope it so engines with
         # different backends can coexist (traces are cached afterwards)
-        with self._backend_ctx(self.attention_backend):
+        with self._backend_ctx(self.attention_backend), _quiet_partial_donation():
             return self._score(self.params, device_batch)
 
     def score_stream(

@@ -162,6 +162,20 @@ def main() -> None:
                 f"{packed_dir} has no rerank features; rebuild with "
                 "`recall.py build --packed --store-features`"
             )
+        want_lineage = "hf" if args.cross_model == "lxmert" else "google"
+        have_lineage = ds.manifest.get("label_tokenizer", "google")
+        if have_lineage != want_lineage:
+            # stored label_ids were tokenized with the other WordPiece
+            # lineage; the two differ on never-split literals ('[UNK]' etc.)
+            # in label text and on >100-char words, so rerank scores can
+            # drift from the TSV featurization path for such labels
+            print(
+                f"WARNING: catalog label_ids use the {have_lineage!r} "
+                f"tokenizer lineage but {args.cross_model} featurizes with "
+                f"{want_lineage!r}; scores may differ from the TSV path for "
+                "labels containing never-split tokens or >100-char words",
+                file=sys.stderr,
+            )
         product_ids = ds.product_ids()
         print(f"catalog: {len(ds)} products (memmapped)", file=sys.stderr)
     else:
@@ -212,14 +226,14 @@ def main() -> None:
     scores: dict[str, dict[str, float]] = {}
     if packed_dir is not None:
         # memmap path: gather only the recalled candidates' features
-        # (CatalogDataset.rows) and rebuild the layout in bulk numpy
-        pair_qrows = [
-            row for row in range(len(query_exs)) for i in top_idx[row] if i >= 0
-        ]
-        pair_idx = np.asarray(
-            [int(i) for row in range(len(query_exs)) for i in top_idx[row] if i >= 0]
-        )
-        q_ids_cache = [fz.query_token_ids(qex) for qex in query_exs]
+        # (CatalogDataset.rows) and rebuild the layout in bulk numpy.
+        # one pass over the recall grid yields both halves of the pairing
+        pair_qrows, pair_cols = np.nonzero(top_idx >= 0)
+        pair_idx = top_idx[pair_qrows, pair_cols]
+        q_ids_cache = {
+            int(r): fz.query_token_ids(query_exs[int(r)])
+            for r in np.unique(pair_qrows)
+        }
         for i in range(0, len(pair_idx), args.batch_size):
             qrows = pair_qrows[i : i + args.batch_size]
             rows = ds.rows(pair_idx[i : i + args.batch_size])

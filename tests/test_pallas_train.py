@@ -310,6 +310,38 @@ def test_multi_block_grid_matches_single_block(ffn_args):
     np.testing.assert_allclose(np.asarray(one), np.asarray(two), atol=2e-5)
 
 
+def test_non_divisible_batch_degrades_block(ffn_args):
+    """Batch sizes the default block_b does not divide must still train:
+    _pick_block degrades to the largest divisor (a crash here was a
+    regression vs the XLA path, which accepts any batch size)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_train import (
+        _pick_block,
+    )
+
+    assert _pick_block(100, 8) == 5
+    assert _pick_block(7, 8) == 7
+    assert _pick_block(13, 4) == 1
+    x, w1, b1, w2, b2, gamma, beta, seed = ffn_args
+    x6 = jnp.concatenate([x, x[:2]], axis=0)  # b=6, block_b=4 -> block 3
+    got = ffn_block_train(
+        x6, w1, b1, w2, b2, gamma, beta, seed, block_b=4, interpret=True
+    )
+    want = ref_ffn(x6, w1, b1, w2, b2, gamma, beta, seed, rate=0.0, approx=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # gradients go through the bwd kernel's identical block choice
+    g = jax.grad(
+        lambda xx: ffn_block_train(
+            xx, w1, b1, w2, b2, gamma, beta, seed, block_b=4, interpret=True
+        ).sum()
+    )(x6)
+    gref = jax.grad(
+        lambda xx: ref_ffn(
+            xx, w1, b1, w2, b2, gamma, beta, seed, rate=0.0, approx=True
+        ).sum()
+    )(x6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-4)
+
+
 def test_seed_from_key_distinct_and_stable():
     k = jax.random.key(3)
     s1, s2 = seed_from_key(k), seed_from_key(jax.random.fold_in(k, 1))
