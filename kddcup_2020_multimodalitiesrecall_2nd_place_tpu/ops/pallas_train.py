@@ -380,6 +380,18 @@ def _ffn_train_bwd(spec: FfnTrainSpec, res, dy):
 _ffn_train.defvjp(_ffn_train_fwd, _ffn_train_bwd)
 
 
+def _env_block(default: int) -> int:
+    """Resolve a train kernel's batch-block size: an explicit ``block_b``
+    wins, else ``KMR_TRAIN_BLOCK`` (model-scale sweeps via ``perf_lab.py
+    train``), else the per-op default. Dropout masks are drawn per grid
+    block, so different block sizes give different (equally valid) masks;
+    fwd/bwd stay aligned because both resolve from the same inputs."""
+    import os
+
+    v = os.environ.get("KMR_TRAIN_BLOCK")
+    return int(v) if v else default
+
+
 def ffn_block_train(
     x: jax.Array,  # [B, S, H]
     w1: jax.Array,  # [H, I] float32
@@ -392,10 +404,12 @@ def ffn_block_train(
     dropout_rate: float = 0.0,
     approximate_gelu: bool = True,
     eps: float = 1e-12,
-    block_b: int = 4,
+    block_b: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Differentiable fused FFN block with in-kernel dropout."""
+    if block_b is None:
+        block_b = _env_block(4)
     spec = FfnTrainSpec(
         dropout_rate=float(dropout_rate), approximate_gelu=approximate_gelu,
         eps=eps, block_b=block_b, interpret=interpret,
@@ -928,7 +942,7 @@ def attention_block_train(
     attn_dropout_rate: float = 0.0,
     hidden_dropout_rate: float = 0.0,
     eps: float = 1e-12,
-    block_b: int = 8,
+    block_b: int | None = None,
     interpret: bool = False,
     headpack: bool | str | None = None,
 ) -> jax.Array:
@@ -946,6 +960,8 @@ def attention_block_train(
     2,051, +12%; "mixed" lands between) -- an earlier -5% reading for the
     all-packed variant predated dropping the outer scan remat (which ran
     every forward kernel twice) and did not reproduce (docs/BENCH.md)."""
+    if block_b is None:
+        block_b = _env_block(8)
     if headpack is None:
         import os
 
@@ -1347,7 +1363,7 @@ def cross_attention_block_train(
     attn_dropout_rate: float = 0.0,
     hidden_dropout_rate: float = 0.0,
     eps: float = 1e-12,
-    block_b: int = 8,
+    block_b: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Differentiable fused cross-attention block with in-kernel dropout.
@@ -1359,6 +1375,8 @@ def cross_attention_block_train(
     recompute-in-VMEM backward + hardware-PRNG dropout scheme as
     ``attention_block_train``; dctx and all weight gradients ride XLA
     matmuls over B*F / B*T rows."""
+    if block_b is None:
+        block_b = _env_block(8)
     spec = CrossTrainSpec(
         num_heads=num_heads,
         attn_dropout_rate=float(attn_dropout_rate),

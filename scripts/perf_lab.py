@@ -16,8 +16,11 @@ Subcommands (each prints one JSON line per measurement):
   dualcross <F> <T> [B] [variant]  fused dual-direction x-layer cross pair
   int8   [M K N]            int8 vs bf16 MXU rate + quantised dense layer
   trace  <name> <B> <dir>   jax.profiler capture around scoring steps
+  trace_train <name> <B> <dir>  same around 2 full training steps
 
 KMR_BLOCKS=8,16 narrows the block sweeps (each block is a remote compile).
+KMR_TRAIN_BLOCK=16 overrides every train kernel's batch-block size (sweep
+the `train` subcommand with it; defaults are ffn 4 / attn 8 / cross 8).
 
 Timings force a host fetch (this rig's block_until_ready can return early
 through the axon tunnel -- see ROADMAP.md).
@@ -534,6 +537,36 @@ def main():
                     out = f(params, batch)
                 _force(out)
         _emit(cmd="trace", model=name, B=B, dir=out_dir)
+    elif cmd == "trace_train":
+        # jax.profiler capture around 2 training steps (fwd+bwd+optimizer
+        # on the Trainer's real fused path) -- where does the non-MXU 40+%
+        # of the step go (VPU softmax/LN, bwd activation dumps, optimizer)?
+        from scripts.bench_all import make_batch
+
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+            Precision,
+            get_model,
+        )
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import Trainer
+
+        name, B, out_dir = a[0], int(a[1]), a[2]
+        spec = get_model(name)
+        trainer = Trainer(spec, precision=Precision.bf16())
+        state = trainer.init_state(jax.random.key(0))
+        batch = make_batch(name, spec.config, B, np.random.default_rng(0))
+        batch.setdefault("labels", np.ones((B,), np.int32))
+        batch = {
+            k: jax.device_put(v, trainer._batch_sharding)
+            for k, v in batch.items()
+        }
+        rng = jax.random.key(1)
+        state, _ = trainer.train_step(state, batch, rng)  # compile outside
+        _force(state.params)
+        with jax.profiler.trace(out_dir):
+            for _ in range(2):
+                state, metrics = trainer.train_step(state, batch, rng)
+            _force(metrics["loss"])
+        _emit(cmd="trace_train", model=name, B=B, dir=out_dir)
     elif cmd == "int8":
         cmd_int8(*(int(v) for v in a[:3]))
     elif cmd == "stages":
