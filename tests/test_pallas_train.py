@@ -462,3 +462,45 @@ def test_fused_and_xla_paths_agree_when_rates_zero():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
         )
+
+
+def test_remat_tracks_actual_block_fusion():
+    """train_blocks_fused must mirror the block gates: a config the gates
+    reject (exotic activation) reports False even when the fused mode is on,
+    so encoder() keeps its per-layer remat on the XLA fallback -- and that
+    fallback still trains (grads finite) under a non-off fused mode."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
+        BertConfig,
+        Precision,
+        encoder,
+        encoder_init,
+        train_blocks_fused,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_train import (
+        train_fused,
+    )
+
+    cfg = BertConfig(
+        vocab_size=97, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=32,
+        max_position_embeddings=32, hidden_act="relu",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    p = encoder_init(jax.random.key(0), cfg)
+    att = jax.tree.map(lambda x: x[0], p)["attention"]
+    ffn = jax.tree.map(lambda x: x[0], p)["ffn"]
+    with train_fused("interpret"):
+        assert not train_blocks_fused(att, ffn, None, "relu")
+        assert train_blocks_fused(att, ffn, None, "gelu")
+        bad_bias = jnp.zeros((2, 1, 6, 6))  # not the compact [B,1,1,S] form
+        assert not train_blocks_fused(att, ffn, bad_bias, "gelu")
+
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 6, 16)), jnp.float32
+        )
+        g = jax.grad(
+            lambda xx: encoder(
+                p, xx, None, cfg, Precision.f32(), rng=jax.random.key(1)
+            ).sum()
+        )(x)
+    assert np.isfinite(np.asarray(g)).all()
