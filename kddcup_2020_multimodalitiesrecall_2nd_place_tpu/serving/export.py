@@ -1,0 +1,134 @@
+"""AOT serving export: compile-once, deploy-without-model-code artifacts.
+
+The reference "deployed" a model by rebuilding its TF graph and restoring a
+Saver checkpoint inside every predict script
+(``imagebert_lds/src/run_pretraining_predict_score.py:522-593`` and the
+three sibling scorers each re-declare the whole model). The TPU-native
+equivalent is an ahead-of-time export: the jitted scoring computation (the
+same function ``parallel.engine.ScoringEngine`` jits) is lowered to
+versioned StableHLO with ``jax.export``, serialized into a directory
+artifact, and reloaded anywhere a compatible jax runtime exists -- no model
+python, no checkpoint plumbing, weights baked in like a frozen graph.
+
+Design choices:
+
+* **Weights are baked in** (closed over as constants): one artifact = one
+  (model, checkpoint, batch size) triple, mirroring the reference's frozen
+  per-checkpoint scorers. bf16 BERT-Base weights add ~220 MB.
+* **The XLA attention backend is the default export path.** The fused
+  Pallas kernels serialize as ``tpu_custom_call`` payloads, which pin the
+  artifact to the exporting compiler version; plain StableHLO rides jax's
+  cross-version compatibility guarantees (>= 1 month backward per the
+  export docs). Same-fleet deployments can opt the packed kernels in with
+  ``backend="pallas_packed"`` (adds the custom-call safety exemption).
+* **Fixed batch size**: serving pads the tail batch, exactly like
+  ``ScoringEngine.score_files`` does.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+BLOB = "scorer.jaxexport"
+META = "meta.json"
+
+
+def export_scorer(
+    spec,
+    params,
+    batch_size: int,
+    precision=None,
+    platforms: tuple[str, ...] | None = None,
+    backend: str = "xla",
+):
+    """Export ``spec``'s scoring fn with ``params`` baked in -> Exported.
+
+    ``platforms``: e.g. ``("tpu",)`` or ``("tpu", "cpu")`` (multi-platform
+    artifacts are bigger but portable); None = the current default backend.
+    ``backend``: attention backend traced into the artifact ("xla" portable,
+    "pallas_packed" fused kernels via a custom-call exemption).
+    """
+    import jax
+
+    from ..data.batchspec import batch_spec
+    from ..models import Precision
+    from ..ops import attention
+
+    precision = precision or Precision.bf16()
+    dev_params = jax.tree.map(jax.numpy.asarray, params)
+
+    def score(feats):
+        return spec.apply(dev_params, feats, spec.config, precision)["score"]
+
+    specs = batch_spec(spec.name, spec.config, batch_size)
+    disabled = ()
+    if backend == "pallas_packed":
+        from jax import export as jexport
+
+        disabled = (jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
+    from jax import export as jexport
+
+    with attention.attention_backend(backend):
+        return jexport.export(
+            jax.jit(score),
+            platforms=list(platforms) if platforms else None,
+            disabled_checks=disabled,
+        )(specs)
+
+
+def save_scorer(out_dir, exported, spec, batch_size: int, backend: str) -> dict:
+    """Write the serialized artifact + a meta sidecar; returns the meta."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / BLOB).write_bytes(exported.serialize())
+    import jax
+
+    meta = {
+        "model": spec.name,
+        "batch_size": batch_size,
+        "attention_backend": backend,
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+        "calling_convention_version": exported.calling_convention_version,
+    }
+    (out / META).write_text(json.dumps(meta, indent=1))
+    return meta
+
+
+@dataclass
+class ServingScorer:
+    """A reloaded artifact: ``scores = scorer(batch)`` with tail padding."""
+
+    exported: object
+    meta: dict
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.meta["batch_size"])
+
+    def __call__(self, feats: dict) -> np.ndarray:
+        n = next(iter(feats.values())).shape[0]
+        b = self.batch_size
+        if n > b:
+            raise ValueError(f"batch {n} exceeds artifact batch size {b}")
+        if n < b:  # pad the tail batch, as ScoringEngine does
+            feats = {
+                k: np.concatenate(
+                    [v, np.zeros((b - n, *v.shape[1:]), v.dtype)], axis=0
+                )
+                for k, v in feats.items()
+            }
+        return np.asarray(self.exported.call(feats))[:n]
+
+
+def load_scorer(artifact_dir) -> ServingScorer:
+    from jax import export as jexport
+
+    d = Path(artifact_dir)
+    exported = jexport.deserialize((d / BLOB).read_bytes())
+    meta = json.loads((d / META).read_text())
+    return ServingScorer(exported=exported, meta=meta)

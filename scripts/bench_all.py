@@ -17,36 +17,15 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.batchspec import (  # noqa: E402
+    example_batch,
+)
+
+
 def make_batch(name: str, cfg, B: int, rng) -> dict:
-    if name in ("imagebert_a", "imagebert_b", "imagebert_c"):
-        b = {
-            "input_ids": rng.integers(0, cfg.vocab_size, (B, 20)).astype(np.int32),
-            "segment_ids": (
-                np.zeros((B, 20), np.int32)
-                if name == "imagebert_a"
-                else np.array([[0] * 20 + [1] * 10] * B, np.int32)
-            ),
-            "boxes": rng.standard_normal((B, 10, 5)).astype(np.float32),
-            "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
-            "label_ids": rng.integers(0, cfg.vocab_size, (B, 10, 8)).astype(np.int32),
-        }
-        if name != "imagebert_a":
-            b["len_query"] = rng.integers(3, 21, (B,)).astype(np.int32)
-            b["num_boxes"] = rng.integers(1, 11, (B,)).astype(np.int32)
-            b["labels"] = np.ones((B,), np.int32)
-        return b
-    nb = rng.integers(1, 11, (B,))
-    nq = rng.integers(3, 24, (B,))
-    v = cfg.bert.vocab_size
-    return {
-        "input_ids": rng.integers(0, v, (B, 23)).astype(np.int32),
-        "input_mask": (np.arange(23)[None] < nq[:, None]).astype(np.int32),
-        "label_ids": rng.integers(0, v, (B, 10, 8)).astype(np.int32),
-        "label_mask": np.ones((B, 10, 8), np.int32),
-        "boxes": rng.standard_normal((B, 10, 4)).astype(np.float32),
-        "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
-        "feats_mask": (np.arange(10)[None] < nb[:, None]).astype(np.float32),
-    }
+    """Back-compat alias: the canonical layouts live in data/batchspec.py
+    (shared with the AOT serving export and the on-device tests)."""
+    return example_batch(name, cfg, B, rng)
 
 
 def main() -> None:

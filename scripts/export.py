@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Export a model + checkpoint as an AOT serving artifact (jax.export).
+
+The TPU-native analogue of freezing a TF graph per checkpoint: the scoring
+computation is lowered once to versioned StableHLO with the weights baked
+in, then served anywhere a compatible jax runtime exists -- no model
+python, no checkpoint plumbing (the reference instead re-declared the whole
+model inside every predict script, e.g.
+``imagebert_lds/src/run_pretraining_predict_score.py:522-593``).
+
+Example:
+  python scripts/export.py --model imagebert_a --checkpoint models/a.npz \
+      --batch-size 8192 --platforms tpu --out artifacts/a_tpu/
+  # later, to score with it:
+  #   from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.serving import load_scorer
+  #   scorer = load_scorer("artifacts/a_tpu"); scores = scorer(feats)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from score import load_params  # noqa: E402  (same checkpoint loaders)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True,
+                    choices=["imagebert_a", "imagebert_b", "imagebert_c", "lxmert"])
+    ap.add_argument("--checkpoint", default=None,
+                    help="npz / TF ckpt / torch state_dict (random init if absent)")
+    ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--platforms", nargs="+", default=None,
+                    help="e.g. 'tpu' or 'tpu cpu' (default: current backend)")
+    ap.add_argument("--precision", choices=["f32", "bf16"], default="bf16")
+    ap.add_argument("--backend", choices=["xla", "pallas_packed"], default="xla",
+                    help="xla = portable StableHLO; pallas_packed pins the "
+                    "artifact to the exporting compiler version")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    import jax
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.serving import (
+        export_scorer,
+        save_scorer,
+    )
+
+    spec = get_model(args.model)
+    params = load_params(args.model, args.checkpoint, spec)
+    prec = Precision.f32() if args.precision == "f32" else Precision.bf16()
+    if args.precision == "bf16":
+        params = jax.tree.map(
+            lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x,
+            params,
+        )
+    exported = export_scorer(
+        spec, params, args.batch_size, precision=prec,
+        platforms=tuple(args.platforms) if args.platforms else None,
+        backend=args.backend,
+    )
+    meta = save_scorer(args.out, exported, spec, args.batch_size, args.backend)
+    print(json.dumps({**meta, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
