@@ -40,13 +40,16 @@ META = "meta.json"
 def export_scorer(
     spec,
     params,
-    batch_size: int,
+    batch_size: int | None,
     precision=None,
     platforms: tuple[str, ...] | None = None,
     backend: str = "xla",
 ):
     """Export ``spec``'s scoring fn with ``params`` baked in -> Exported.
 
+    ``batch_size``: fixed batch shape, or None for a batch-POLYMORPHIC
+    artifact (symbolic leading dim -- one compile serves any batch size,
+    no tail padding; XLA specializes per concrete size at run time).
     ``platforms``: e.g. ``("tpu",)`` or ``("tpu", "cpu")`` (multi-platform
     artifacts are bigger but portable); None = the current default backend.
     ``backend``: attention backend traced into the artifact ("xla" portable,
@@ -64,7 +67,16 @@ def export_scorer(
     def score(feats):
         return spec.apply(dev_params, feats, spec.config, precision)["score"]
 
-    specs = batch_spec(spec.name, spec.config, batch_size)
+    if batch_size is None:
+        from jax import export as jexport
+
+        b = jexport.symbolic_shape("b")[0]
+        specs = {
+            k: jax.ShapeDtypeStruct((b, *v.shape[1:]), v.dtype)
+            for k, v in batch_spec(spec.name, spec.config, 2).items()
+        }
+    else:
+        specs = batch_spec(spec.name, spec.config, batch_size)
     disabled = ()
     if backend == "pallas_packed":
         from jax import export as jexport
@@ -80,7 +92,7 @@ def export_scorer(
         )(specs)
 
 
-def save_scorer(out_dir, exported, spec, batch_size: int, backend: str) -> dict:
+def save_scorer(out_dir, exported, spec, batch_size: int | None, backend: str) -> dict:
     """Write the serialized artifact + a meta sidecar; returns the meta."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -107,12 +119,16 @@ class ServingScorer:
     meta: dict
 
     @property
-    def batch_size(self) -> int:
-        return int(self.meta["batch_size"])
+    def batch_size(self) -> int | None:
+        """Fixed artifact batch size, or None for batch-polymorphic."""
+        b = self.meta["batch_size"]
+        return None if b is None else int(b)
 
     def __call__(self, feats: dict) -> np.ndarray:
         n = next(iter(feats.values())).shape[0]
         b = self.batch_size
+        if b is None:  # polymorphic artifact: any batch size, no padding
+            return np.asarray(self.exported.call(feats))
         if n > b:
             raise ValueError(f"batch {n} exceeds artifact batch size {b}")
         if n < b:  # pad the tail batch, as ScoringEngine does

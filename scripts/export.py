@@ -34,7 +34,9 @@ def main() -> None:
                     choices=["imagebert_a", "imagebert_b", "imagebert_c", "lxmert"])
     ap.add_argument("--checkpoint", default=None,
                     help="npz / TF ckpt / torch state_dict (random init if absent)")
-    ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--batch-size", type=int, default=8192,
+                    help="0 = batch-polymorphic artifact (symbolic leading "
+                    "dim; any batch size, XLA specializes at run time)")
     ap.add_argument("--platforms", nargs="+", default=None,
                     help="e.g. 'tpu' or 'tpu cpu' (default: current backend)")
     ap.add_argument("--precision", choices=["f32", "bf16"], default="bf16")
@@ -63,12 +65,13 @@ def main() -> None:
             lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x,
             params,
         )
+    bsz = None if args.batch_size == 0 else args.batch_size
     exported = export_scorer(
-        spec, params, args.batch_size, precision=prec,
+        spec, params, bsz, precision=prec,
         platforms=tuple(args.platforms) if args.platforms else None,
         backend=args.backend,
     )
-    meta = save_scorer(args.out, exported, spec, args.batch_size, args.backend)
+    meta = save_scorer(args.out, exported, spec, bsz, args.backend)
     print(json.dumps({**meta, "out": args.out}))
 
 

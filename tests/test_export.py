@@ -63,6 +63,25 @@ def test_export_roundtrip_matches_live_model(name, tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.parametrize("name", ["imagebert_a", "lxmert"])
+def test_polymorphic_export_serves_any_batch(name, tmp_path):
+    """batch_size=None exports a symbolic leading dim: one artifact, any
+    batch size, no tail padding."""
+    spec = get_model(name)
+    params = spec.init_params(jax.random.key(0))
+    exported = export_scorer(spec, params, None, precision=Precision.f32())
+    save_scorer(tmp_path / "art", exported, spec, None, "xla")
+    scorer = load_scorer(tmp_path / "art")
+    assert scorer.batch_size is None
+    for B in (3, 7):
+        batch = example_batch(name, spec.config, B, np.random.default_rng(B))
+        got = scorer(batch)
+        want = np.asarray(
+            spec.apply(params, batch, spec.config, Precision.f32())["score"]
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_export_pads_tail_batch(tmp_path):
     spec = get_model("imagebert_a")
     params = spec.init_params(jax.random.key(0))
