@@ -92,15 +92,68 @@ def export_scorer(
         )(specs)
 
 
+def export_tower(
+    params,
+    tcfg,
+    side: str,  # "query" | "product"
+    batch_size: int | None,
+    precision=None,
+    platforms: tuple[str, ...] | None = None,
+):
+    """Export one two-tower embedder (the cascade's recall stage) -> Exported.
+
+    ``side="query"`` embeds input_ids [B,20] + len_query [B];
+    ``side="product"`` embeds boxes/features/label_ids/num_boxes -- the same
+    fields ``recall.py build`` streams through the product tower. Together
+    with :func:`export_scorer` (the rerank cross-encoder) this freezes the
+    full retrieval cascade for serving. batch_size=None -> batch-polymorphic.
+    """
+    import jax
+
+    from ..models import Precision
+    from ..models.two_tower import embed_product, embed_query
+
+    precision = precision or Precision.bf16()
+    dev_params = jax.tree.map(jax.numpy.asarray, params)
+    if side == "query":
+        fn = lambda b: embed_query(dev_params, b, tcfg, precision)  # noqa: E731
+        shapes = {"input_ids": ((20,), np.int32), "len_query": ((), np.int32)}
+    elif side == "product":
+        fn = lambda b: embed_product(dev_params, b, tcfg, precision)  # noqa: E731
+        shapes = {
+            "boxes": ((10, 5), np.float32),
+            "features": ((10, 2048), np.float32),
+            "label_ids": ((10, 8), np.int32),
+            "num_boxes": ((), np.int32),
+        }
+    else:
+        raise ValueError(f"side must be 'query' or 'product', got {side!r}")
+    from jax import export as jexport
+
+    b = (
+        jexport.symbolic_shape("b")[0]
+        if batch_size is None
+        else batch_size
+    )
+    specs = {
+        k: jax.ShapeDtypeStruct((b, *trail), dt) for k, (trail, dt) in shapes.items()
+    }
+    return jexport.export(
+        jax.jit(fn),
+        platforms=list(platforms) if platforms else None,
+    )(specs)
+
+
 def save_scorer(out_dir, exported, spec, batch_size: int | None, backend: str) -> dict:
-    """Write the serialized artifact + a meta sidecar; returns the meta."""
+    """Write the serialized artifact + a meta sidecar; returns the meta.
+    ``spec``: a ModelSpec, or a plain model-name string (tower embedders)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     (out / BLOB).write_bytes(exported.serialize())
     import jax
 
     meta = {
-        "model": spec.name,
+        "model": spec if isinstance(spec, str) else spec.name,
         "batch_size": batch_size,
         "attention_backend": backend,
         "platforms": list(exported.platforms),

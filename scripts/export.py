@@ -31,7 +31,10 @@ from score import load_params  # noqa: E402  (same checkpoint loaders)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
-                    choices=["imagebert_a", "imagebert_b", "imagebert_c", "lxmert"])
+                    choices=["imagebert_a", "imagebert_b", "imagebert_c",
+                             "lxmert", "two_tower"])
+    ap.add_argument("--side", choices=["query", "product"], default=None,
+                    help="two_tower only: which embedder to export")
     ap.add_argument("--checkpoint", default=None,
                     help="npz / TF ckpt / torch state_dict (random init if absent)")
     ap.add_argument("--batch-size", type=int, default=8192,
@@ -57,21 +60,53 @@ def main() -> None:
         save_scorer,
     )
 
-    spec = get_model(args.model)
-    params = load_params(args.model, args.checkpoint, spec)
     prec = Precision.f32() if args.precision == "f32" else Precision.bf16()
-    if args.precision == "bf16":
-        params = jax.tree.map(
-            lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x,
-            params,
-        )
-    bsz = None if args.batch_size == 0 else args.batch_size
-    exported = export_scorer(
-        spec, params, bsz, precision=prec,
-        platforms=tuple(args.platforms) if args.platforms else None,
-        backend=args.backend,
+    bf16 = lambda p: jax.tree.map(  # noqa: E731
+        lambda x: x.astype("bfloat16") if str(x.dtype) == "float32" else x, p
     )
-    meta = save_scorer(args.out, exported, spec, bsz, args.backend)
+    bsz = None if args.batch_size == 0 else args.batch_size
+    platforms = tuple(args.platforms) if args.platforms else None
+
+    if args.model == "two_tower":
+        if args.side is None:
+            ap.error("--side query|product is required for two_tower")
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
+            load_npz,
+            restore_pytree,
+        )
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.two_tower import (
+            init_params,
+            two_tower_config,
+        )
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.serving import (
+            export_tower,
+        )
+
+        tcfg = two_tower_config()
+        if args.checkpoint:
+            p = Path(args.checkpoint)
+            params = restore_pytree(p) if p.is_dir() else load_npz(p)
+        else:
+            print("WARNING: no checkpoint; random init", file=sys.stderr)
+            params = init_params(jax.random.key(0), tcfg)
+        if args.precision == "bf16":
+            params = bf16(params)
+        exported = export_tower(
+            params, tcfg, args.side, bsz, precision=prec, platforms=platforms
+        )
+        meta = save_scorer(
+            args.out, exported, f"two_tower_{args.side}", bsz, "xla"
+        )
+    else:
+        spec = get_model(args.model)
+        params = load_params(args.model, args.checkpoint, spec)
+        if args.precision == "bf16":
+            params = bf16(params)
+        exported = export_scorer(
+            spec, params, bsz, precision=prec,
+            platforms=platforms, backend=args.backend,
+        )
+        meta = save_scorer(args.out, exported, spec, bsz, args.backend)
     print(json.dumps({**meta, "out": args.out}))
 
 

@@ -98,6 +98,50 @@ def test_export_pads_tail_batch(tmp_path):
         scorer(too_big)
 
 
+def test_tower_export_matches_live_embedders(tmp_path, monkeypatch):
+    """Both cascade recall embedders freeze and reproduce live embeddings
+    (polymorphic batch); together with the scorer export this covers the
+    full retrieval cascade's serving story."""
+    monkeypatch.setenv(
+        "KMR_TOWER_CONFIG_OVERRIDES",
+        json.dumps({"bert": TINY, "embed_dim": 16, "temperature": 0.1}),
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.two_tower import (
+        embed_product,
+        embed_query,
+        init_params,
+        two_tower_config,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.serving import (
+        export_tower,
+    )
+
+    tcfg = two_tower_config()
+    params = init_params(jax.random.key(0), tcfg)
+    rng = np.random.default_rng(5)
+    qb = {
+        "input_ids": rng.integers(0, tcfg.bert.vocab_size, (3, 20)).astype(np.int32),
+        "len_query": rng.integers(3, 21, (3,)).astype(np.int32),
+    }
+    pb = {
+        "boxes": rng.standard_normal((3, 10, 5)).astype(np.float32),
+        "features": rng.standard_normal((3, 10, 2048)).astype(np.float32),
+        "label_ids": rng.integers(0, tcfg.bert.vocab_size, (3, 10, 8)).astype(np.int32),
+        "num_boxes": rng.integers(1, 11, (3,)).astype(np.int32),
+    }
+    for side, live, batch in (
+        ("query", embed_query, qb),
+        ("product", embed_product, pb),
+    ):
+        exported = export_tower(params, tcfg, side, None, precision=Precision.f32())
+        save_scorer(tmp_path / side, exported, f"two_tower_{side}", None, "xla")
+        scorer = load_scorer(tmp_path / side)
+        got = scorer(batch)
+        want = np.asarray(live(params, batch, tcfg, Precision.f32()))
+        assert got.shape == (3, tcfg.embed_dim)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_export_cli(tmp_path):
     env = {
         **os.environ,
