@@ -177,7 +177,23 @@ class ServingScorer:
         b = self.meta["batch_size"]
         return None if b is None else int(b)
 
+    @property
+    def feature_keys(self) -> set[str]:
+        """Feature-dict keys the artifact was traced with."""
+        import jax.tree_util as jtu
+
+        t = self.exported.in_tree
+        args, _kwargs = jtu.tree_unflatten(t, [None] * t.num_leaves)
+        return set(args[0])
+
     def __call__(self, feats: dict) -> np.ndarray:
+        want = self.feature_keys
+        if set(feats) != want:  # readable error instead of a pytree mismatch
+            raise ValueError(
+                f"artifact expects feature keys {sorted(want)}; missing "
+                f"{sorted(want - set(feats))}, unexpected "
+                f"{sorted(set(feats) - want)}"
+            )
         n = next(iter(feats.values())).shape[0]
         b = self.batch_size
         if b is None:  # polymorphic artifact: any batch size, no padding

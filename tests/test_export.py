@@ -96,6 +96,11 @@ def test_export_pads_tail_batch(tmp_path):
     too_big = {k: np.concatenate([v, v], axis=0) for k, v in full.items()}
     with pytest.raises(ValueError, match="exceeds artifact batch size"):
         scorer(too_big)
+    assert scorer.feature_keys == set(full)
+    wrong = dict(full)
+    wrong["bogus"] = wrong.pop("boxes")
+    with pytest.raises(ValueError, match=r"missing \['boxes'\].*'bogus'"):
+        scorer(wrong)
 
 
 def test_tower_export_matches_live_embedders(tmp_path, monkeypatch):
