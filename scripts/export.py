@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--backend", choices=["xla", "pallas_packed"], default="xla",
                     help="xla = portable StableHLO; pallas_packed pins the "
                     "artifact to the exporting compiler version")
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="bake int8 per-channel weights (4x smaller "
+                    "artifact; dynamic activation quant at run time; the "
+                    "scoring heads stay full precision -- AM margins are "
+                    "boundary-sensitive)")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -100,13 +105,21 @@ def main() -> None:
     else:
         spec = get_model(args.model)
         params = load_params(args.model, args.checkpoint, spec)
-        if args.precision == "bf16":
+        if args.quantize == "int8":
+            from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
+                quantize_dense_tree,
+            )
+
+            params = quantize_dense_tree(params, skip_paths=("cls",))
+        elif args.precision == "bf16":
             params = bf16(params)
         exported = export_scorer(
             spec, params, bsz, precision=prec,
             platforms=platforms, backend=args.backend,
         )
         meta = save_scorer(args.out, exported, spec, bsz, args.backend)
+        if args.quantize:
+            meta["quantize"] = args.quantize
     print(json.dumps({**meta, "out": args.out}))
 
 

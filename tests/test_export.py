@@ -161,16 +161,29 @@ def test_export_cli(tmp_path):
             "--model", "imagebert_b",
             "--batch-size", "4",
             "--precision", "f32",
+            "--quantize", "int8",
             "--out", str(out),
         ],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=480,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     line = json.loads(r.stdout.strip().splitlines()[-1])
-    assert line["model"] == "imagebert_b"
+    assert line["model"] == "imagebert_b" and line["quantize"] == "int8"
     assert (out / "scorer.jaxexport").exists() and (out / "meta.json").exists()
+
+    # the int8 artifact reproduces a live quantized apply exactly
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
+        quantize_dense_tree,
+    )
 
     scorer = load_scorer(out)
     spec = get_model("imagebert_b")
+    params = quantize_dense_tree(
+        spec.init_params(jax.random.key(0)), skip_paths=("cls",)
+    )
     batch = example_batch("imagebert_b", spec.config, 4, np.random.default_rng(3))
-    assert np.isfinite(scorer(batch)).all()
+    got = scorer(batch)
+    want = np.asarray(
+        spec.apply(params, batch, spec.config, Precision.f32())["score"]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)

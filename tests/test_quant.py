@@ -1,0 +1,95 @@
+"""Int8 serving path (ops/quant.py): kernel quantisation, the dynamic-quant
+dense, tree conversion, and whole-model score drift at tiny config.
+
+The int8 mode is serving-only (strict parity stays f32/bf16); measured MXU
+rates are in docs/BENCH.md (shape-gated: >=2048-wide layers win, 768-wide
+is neutral).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
+    QUANT_KERNEL,
+    QUANT_SCALE,
+    dense_q8,
+    is_quantized,
+    quantize_dense_tree,
+    quantize_kernel,
+)
+
+TINY = {
+    "hidden_size": 32,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "intermediate_size": 37,
+}
+
+
+def test_quantize_kernel_roundtrip_error_bounded():
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32))
+    q = quantize_kernel(k)
+    assert q[QUANT_KERNEL].dtype == jnp.int8
+    deq = q[QUANT_KERNEL].astype(np.float32) * q[QUANT_SCALE]
+    # symmetric per-channel int8: error <= scale/2 = amax/254 per element
+    amax = np.max(np.abs(np.asarray(k)), axis=0)
+    assert (np.abs(np.asarray(deq) - np.asarray(k)) <= amax / 254 + 1e-7).all()
+
+
+def test_dense_q8_close_to_f32_dense():
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((48,)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+    got = dense_q8({**quantize_kernel(k), "bias": b}, x)
+    want = x @ k + b
+    # two int8 roundings over a 64-deep contraction: ~1% relative
+    err = np.abs(np.asarray(got - want))
+    assert err.max() <= 0.03 * float(jnp.abs(want).max())
+
+
+def test_quantize_dense_tree_skips_and_marks():
+    tree = {
+        "enc": {"kernel": jnp.ones((8, 8)), "bias": jnp.zeros(8)},
+        "head": {"kernel": jnp.ones((8, 2)), "bias": jnp.zeros(2)},
+        "ln": {"gamma": jnp.ones(8), "beta": jnp.zeros(8)},
+    }
+    q = quantize_dense_tree(tree, skip_paths=("head",))
+    assert is_quantized(q["enc"]) and not is_quantized(q["head"])
+    assert "kernel" not in q["enc"] and "kernel" in q["head"]
+    assert q["ln"]["gamma"].shape == (8,)  # non-dense leaves untouched
+
+
+@pytest.mark.parametrize("name", ["imagebert_a", "imagebert_b"])
+def test_quantized_model_scores_track_f32(name, monkeypatch):
+    """Whole-model int8 scoring drifts but must preserve ranking signal:
+    scores correlate strongly with the f32 scores at tiny config."""
+    monkeypatch.setenv("KMR_CONFIG_OVERRIDES", json.dumps(TINY))
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.batchspec import (
+        example_batch,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+
+    spec = get_model(name)
+    params = spec.init_params(jax.random.key(0))
+    batch = example_batch(name, spec.config, 16, np.random.default_rng(2))
+    f32 = np.asarray(
+        spec.apply(params, batch, spec.config, Precision.f32())["score"]
+    )
+    qparams = quantize_dense_tree(params)
+    q = np.asarray(
+        spec.apply(qparams, batch, spec.config, Precision.f32())["score"]
+    )
+    assert np.isfinite(q).all()
+    # random-init tiny models give near-uniform scores; demand the int8
+    # scores stay within a tight band of f32 rather than rank-correlate
+    assert np.abs(q - f32).max() < 0.05
