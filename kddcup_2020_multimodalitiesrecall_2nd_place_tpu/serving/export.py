@@ -56,6 +56,7 @@ def export_scorer(
     "pallas_packed" fused kernels via a custom-call exemption).
     """
     import jax
+    from jax import export as jexport
 
     from ..data.batchspec import batch_spec
     from ..models import Precision
@@ -68,8 +69,6 @@ def export_scorer(
         return spec.apply(dev_params, feats, spec.config, precision)["score"]
 
     if batch_size is None:
-        from jax import export as jexport
-
         b = jexport.symbolic_shape("b")[0]
         specs = {
             k: jax.ShapeDtypeStruct((b, *v.shape[1:]), v.dtype)
@@ -79,10 +78,7 @@ def export_scorer(
         specs = batch_spec(spec.name, spec.config, batch_size)
     disabled = ()
     if backend == "pallas_packed":
-        from jax import export as jexport
-
         disabled = (jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
-    from jax import export as jexport
 
     with attention.attention_backend(backend):
         return jexport.export(
