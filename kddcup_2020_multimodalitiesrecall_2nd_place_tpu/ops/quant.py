@@ -24,11 +24,14 @@ QUANT_SCALE = "kernel_scale"
 
 
 def quantize_kernel(kernel: jax.Array) -> dict:
-    """f32 [in, out] -> {kernel_q8 int8 [in, out], kernel_scale f32 [out]}."""
+    """f32 [..., in, out] -> {kernel_q8 int8 [..., in, out], kernel_scale
+    f32 [..., out]}. Leading dims (the scan-stacked [L, in, out] encoder
+    kernels) quantise per (layer, output channel); ``lax.scan`` then slices
+    both fields per layer, handing ``dense_q8`` an ordinary [in, out]."""
     k = kernel.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(k), axis=0)  # per output channel
+    amax = jnp.max(jnp.abs(k), axis=-2)  # per output channel
     scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(k / scale[..., None, :]), -127, 127).astype(jnp.int8)
     return {QUANT_KERNEL: q, QUANT_SCALE: scale}
 
 
@@ -57,7 +60,7 @@ def quantize_dense_tree(params, *, skip_paths: tuple[str, ...] = ()) -> Params:
 
     def rec(node, path: str):
         if isinstance(node, dict):
-            if "kernel" in node and "bias" in node and node["kernel"].ndim == 2:
+            if "kernel" in node and "bias" in node and node["kernel"].ndim >= 2:
                 if not any(s in path for s in skip_paths):
                     q = quantize_kernel(node["kernel"])
                     return {**q, "bias": node["bias"]}
@@ -69,3 +72,20 @@ def quantize_dense_tree(params, *, skip_paths: tuple[str, ...] = ()) -> Params:
 
 def is_quantized(p: Params) -> bool:
     return QUANT_KERNEL in p
+
+
+def cast_residual_bf16(params: Params) -> Params:
+    """Cast the remaining f32 leaves of a quantised tree to bf16 (embeddings,
+    LayerNorms, biases, unquantised heads), keeping the ``kernel_scale``
+    factors f32 -- scales multiply an int32 accumulation and bf16's 8-bit
+    mantissa would re-quantise the dequantisation itself."""
+    import jax.tree_util as jtu
+
+    def cast(path, x):
+        if str(x.dtype) != "float32":
+            return x
+        if any(getattr(k, "key", None) == QUANT_SCALE for k in path):
+            return x
+        return x.astype(jnp.bfloat16)
+
+    return jtu.tree_map_with_path(cast, params)

@@ -107,10 +107,13 @@ def main() -> None:
         params = load_params(args.model, args.checkpoint, spec)
         if args.quantize == "int8":
             from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
+                cast_residual_bf16,
                 quantize_dense_tree,
             )
 
             params = quantize_dense_tree(params, skip_paths=("cls",))
+            if args.precision == "bf16":
+                params = cast_residual_bf16(params)
         elif args.precision == "bf16":
             params = bf16(params)
         exported = export_scorer(

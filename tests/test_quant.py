@@ -86,6 +86,12 @@ def test_quantized_model_scores_track_f32(name, monkeypatch):
         spec.apply(params, batch, spec.config, Precision.f32())["score"]
     )
     qparams = quantize_dense_tree(params)
+    # the scan-STACKED encoder kernels ([L, in, out]) must be quantized too
+    # (regression: an ndim==2 gate silently left every encoder layer f32)
+    n_int8 = sum(
+        1 for x in jax.tree.leaves(qparams) if str(x.dtype) == "int8"
+    )
+    assert n_int8 >= 8, n_int8
     q = np.asarray(
         spec.apply(qparams, batch, spec.config, Precision.f32())["score"]
     )
@@ -93,3 +99,35 @@ def test_quantized_model_scores_track_f32(name, monkeypatch):
     # random-init tiny models give near-uniform scores; demand the int8
     # scores stay within a tight band of f32 rather than rank-correlate
     assert np.abs(q - f32).max() < 0.05
+
+
+def test_stacked_kernel_quantization_matches_per_layer():
+    """Quantizing a stacked [L, in, out] kernel == quantizing each layer's
+    [in, out] slice separately (per-(layer, channel) scales)."""
+    rng = np.random.default_rng(4)
+    k = jnp.asarray(rng.standard_normal((3, 16, 8)).astype(np.float32))
+    q = quantize_kernel(k)
+    for layer in range(3):
+        ql = quantize_kernel(k[layer])
+        np.testing.assert_array_equal(
+            np.asarray(q[QUANT_KERNEL][layer]), np.asarray(ql[QUANT_KERNEL])
+        )
+        np.testing.assert_allclose(
+            np.asarray(q[QUANT_SCALE][layer]), np.asarray(ql[QUANT_SCALE])
+        )
+
+
+def test_cast_residual_bf16_keeps_scales_f32():
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
+        cast_residual_bf16,
+    )
+
+    tree = quantize_dense_tree(
+        {"enc": {"kernel": jnp.ones((4, 8, 8)), "bias": jnp.zeros((4, 8))}}
+    )
+    tree["emb"] = jnp.ones((10, 8), jnp.float32)
+    out = cast_residual_bf16(tree)
+    assert out["enc"][QUANT_KERNEL].dtype == jnp.int8
+    assert out["enc"][QUANT_SCALE].dtype == jnp.float32
+    assert out["enc"]["bias"].dtype == jnp.bfloat16
+    assert out["emb"].dtype == jnp.bfloat16
