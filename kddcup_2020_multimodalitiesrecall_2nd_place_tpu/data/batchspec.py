@@ -53,10 +53,15 @@ def example_batch(name: str, cfg, B: int, rng) -> dict:
     raise ValueError(f"unknown model {name!r}")
 
 
-def batch_spec(name: str, cfg, B: int) -> dict:
+def batch_spec(name: str, cfg, B) -> dict:
     """dict of ``jax.ShapeDtypeStruct`` matching :func:`example_batch` --
-    the abstract signature an AOT export is traced against."""
+    the abstract signature an AOT export is traced against. ``B`` may be a
+    symbolic dim. Shapes come from a B=1 example (a real batch at the
+    documented B=8192 would materialize ~700 MB of random features just to
+    read .shape)."""
     import jax
 
-    ex = example_batch(name, cfg, B, np.random.default_rng(0))
-    return {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in ex.items()}
+    ex = example_batch(name, cfg, 1, np.random.default_rng(0))
+    return {
+        k: jax.ShapeDtypeStruct((B, *v.shape[1:]), v.dtype) for k, v in ex.items()
+    }

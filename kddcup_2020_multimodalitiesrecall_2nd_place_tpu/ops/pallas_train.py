@@ -389,7 +389,12 @@ def _env_block(default: int) -> int:
     import os
 
     v = os.environ.get("KMR_TRAIN_BLOCK")
-    return int(v) if v else default
+    if not v:
+        return default
+    iv = int(v)
+    if iv <= 0:
+        raise ValueError(f"KMR_TRAIN_BLOCK must be a positive int, got {v!r}")
+    return iv
 
 
 def ffn_block_train(

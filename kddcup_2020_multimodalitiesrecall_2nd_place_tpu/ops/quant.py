@@ -74,17 +74,25 @@ def is_quantized(p: Params) -> bool:
     return QUANT_KERNEL in p
 
 
-def cast_residual_bf16(params: Params) -> Params:
+def cast_residual_bf16(
+    params: Params, *, skip_paths: tuple[str, ...] = ()
+) -> Params:
     """Cast the remaining f32 leaves of a quantised tree to bf16 (embeddings,
-    LayerNorms, biases, unquantised heads), keeping the ``kernel_scale``
-    factors f32 -- scales multiply an int32 accumulation and bf16's 8-bit
-    mantissa would re-quantise the dequantisation itself."""
+    LayerNorms, biases), keeping the ``kernel_scale`` factors f32 -- scales
+    multiply an int32 accumulation and bf16's 8-bit mantissa would
+    re-quantise the dequantisation itself. ``skip_paths`` keeps whole
+    subtrees f32 (pass the same paths as ``quantize_dense_tree`` so e.g.
+    margin-sensitive scoring heads stay FULL precision, not just
+    unquantised)."""
     import jax.tree_util as jtu
 
     def cast(path, x):
         if str(x.dtype) != "float32":
             return x
-        if any(getattr(k, "key", None) == QUANT_SCALE for k in path):
+        keys = [str(getattr(k, "key", "")) for k in path]
+        if QUANT_SCALE in keys:
+            return x
+        if skip_paths and any(s in "/".join(keys) for s in skip_paths):
             return x
         return x.astype(jnp.bfloat16)
 

@@ -68,14 +68,8 @@ def export_scorer(
     def score(feats):
         return spec.apply(dev_params, feats, spec.config, precision)["score"]
 
-    if batch_size is None:
-        b = jexport.symbolic_shape("b")[0]
-        specs = {
-            k: jax.ShapeDtypeStruct((b, *v.shape[1:]), v.dtype)
-            for k, v in batch_spec(spec.name, spec.config, 2).items()
-        }
-    else:
-        specs = batch_spec(spec.name, spec.config, batch_size)
+    b = jexport.symbolic_shape("b")[0] if batch_size is None else batch_size
+    specs = batch_spec(spec.name, spec.config, b)
     disabled = ()
     if backend == "pallas_packed":
         disabled = (jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
@@ -108,6 +102,7 @@ def export_tower(
 
     from ..models import Precision
     from ..models.two_tower import embed_product, embed_query
+    from ..ops import attention
 
     precision = precision or Precision.bf16()
     dev_params = jax.tree.map(jax.numpy.asarray, params)
@@ -134,15 +129,29 @@ def export_tower(
     specs = {
         k: jax.ShapeDtypeStruct((b, *trail), dt) for k, (trail, dt) in shapes.items()
     }
-    return jexport.export(
-        jax.jit(fn),
-        platforms=list(platforms) if platforms else None,
-    )(specs)
+    # pin the portable XLA attention path regardless of the ambient global
+    # backend (a process-wide "pallas_packed" would trace tpu_custom_calls
+    # into the artifact and fail export's custom-call safety check) -- the
+    # meta sidecar records attention_backend="xla" for towers
+    with attention.attention_backend("xla"):
+        return jexport.export(
+            jax.jit(fn),
+            platforms=list(platforms) if platforms else None,
+        )(specs)
 
 
-def save_scorer(out_dir, exported, spec, batch_size: int | None, backend: str) -> dict:
+def save_scorer(
+    out_dir,
+    exported,
+    spec,
+    batch_size: int | None,
+    backend: str,
+    extra: dict | None = None,
+) -> dict:
     """Write the serialized artifact + a meta sidecar; returns the meta.
-    ``spec``: a ModelSpec, or a plain model-name string (tower embedders)."""
+    ``spec``: a ModelSpec, or a plain model-name string (tower embedders).
+    ``extra``: additional meta fields (e.g. quantize mode) recorded in the
+    on-disk sidecar, not just the returned dict."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     (out / BLOB).write_bytes(exported.serialize())
@@ -155,6 +164,7 @@ def save_scorer(out_dir, exported, spec, batch_size: int | None, backend: str) -
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
         "calling_convention_version": exported.calling_convention_version,
+        **(extra or {}),
     }
     (out / META).write_text(json.dumps(meta, indent=1))
     return meta

@@ -75,6 +75,10 @@ def main() -> None:
     if args.model == "two_tower":
         if args.side is None:
             ap.error("--side query|product is required for two_tower")
+        if args.quantize:
+            ap.error("--quantize is not supported for two_tower embedders")
+        if args.backend != "xla":
+            ap.error("two_tower embedders export with the xla backend only")
         from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
             load_npz,
             restore_pytree,
@@ -113,16 +117,19 @@ def main() -> None:
 
             params = quantize_dense_tree(params, skip_paths=("cls",))
             if args.precision == "bf16":
-                params = cast_residual_bf16(params)
+                # same skip paths: the margin-sensitive heads stay f32,
+                # not merely unquantised
+                params = cast_residual_bf16(params, skip_paths=("cls",))
         elif args.precision == "bf16":
             params = bf16(params)
         exported = export_scorer(
             spec, params, bsz, precision=prec,
             platforms=platforms, backend=args.backend,
         )
-        meta = save_scorer(args.out, exported, spec, bsz, args.backend)
-        if args.quantize:
-            meta["quantize"] = args.quantize
+        meta = save_scorer(
+            args.out, exported, spec, bsz, args.backend,
+            extra={"quantize": args.quantize} if args.quantize else None,
+        )
     print(json.dumps({**meta, "out": args.out}))
 
 

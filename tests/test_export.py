@@ -169,7 +169,9 @@ def test_export_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     line = json.loads(r.stdout.strip().splitlines()[-1])
     assert line["model"] == "imagebert_b" and line["quantize"] == "int8"
-    assert (out / "scorer.jaxexport").exists() and (out / "meta.json").exists()
+    assert (out / "scorer.jaxexport").exists()
+    # the ON-DISK sidecar must record the quantize mode too
+    assert json.loads((out / "meta.json").read_text())["quantize"] == "int8"
 
     # the int8 artifact reproduces a live quantized apply exactly
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
