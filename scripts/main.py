@@ -50,6 +50,13 @@ def main() -> None:
     ap.add_argument("--expect-pairs", type=int, default=None,
                     help="assert each scorer emitted exactly N pairs "
                          "(reference: 29,005 for testB)")
+    ap.add_argument("--full-c", action="store_true",
+                    help="score the full TSV for imagebert_c instead of the "
+                         "delta pass (C == B except on rows containing 'sen "
+                         "department of', load_data_v4.py:153-154; the delta "
+                         "pass rescores only those rows and copies B's "
+                         "scores for the rest -- bit-identical output, ~25%% "
+                         "less device time)")
     ap.add_argument("--answers", default=None,
                     help="valid_answer.json: also report ensemble nDCG@5")
     args = ap.parse_args()
@@ -73,6 +80,10 @@ def main() -> None:
         ckpt = getattr(args, ckpt_attr)
         if ckpt:
             cmd += ["--checkpoint", ckpt]
+        if model == "imagebert_c" and not args.full_c:
+            # C shares B's checkpoint and differs only via the sen2forest
+            # rewrite -- rescore only rewritten rows, copy the rest from B
+            cmd += ["--delta-from", str(score_files["imagebert_b"])]
         if args.expect_pairs is not None:
             cmd += ["--expect-pairs", str(args.expect_pairs)]
         print(f"[main] scoring {model} -> {dest}", file=sys.stderr, flush=True)

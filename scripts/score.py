@@ -75,7 +75,22 @@ def main() -> None:
                          "testB / 14720 per valid tower: "
                          "run_pretraining_evaluate.py:580-583, "
                          "run_pretraining_predict.py:578)")
+    ap.add_argument("--delta-from", default=None,
+                    help="C-as-delta: path to the ImageBERT-B score file "
+                         "produced from the SAME tsv with the SAME "
+                         "checkpoint. imagebert_c is imagebert_b plus a "
+                         "data-layer query rewrite that only fires on rows "
+                         "containing 'sen department of' "
+                         "(imagebert_zk/load_data_v4.py:153-154); every "
+                         "other pair's score is bit-identical to B's by "
+                         "construction, so only rewritten rows are scored "
+                         "and the rest are copied from this file. Only "
+                         "valid with --model imagebert_c.")
     args = ap.parse_args()
+
+    if args.delta_from is not None and args.model != "imagebert_c":
+        ap.error("--delta-from is only meaningful for --model imagebert_c "
+                 "(C == B + sen2forest rewrite)")
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
@@ -96,23 +111,84 @@ def main() -> None:
         FullTokenizer,
     )
 
-    spec = get_model(args.model)
-    tok = (
-        FullTokenizer.hf_style(VOCAB_PATH)
-        if args.model == "lxmert"
-        else FullTokenizer.google_style(VOCAB_PATH)
-    )
-    featurizer = Featurizer(
-        tok, load_multimodal_labels(args.labels), sen2forest=spec.sen2forest
-    )
-    params = load_params(args.model, args.checkpoint, spec)
-    prec = Precision.f32() if args.precision == "f32" else Precision.bf16()
-    engine = ScoringEngine(spec, params, precision=prec)
     stats = ScoringStats()
-    result = engine.score_files(args.tsv, featurizer, args.batch_size, stats=stats)
-    if args.expect_pairs is not None and stats.pairs != args.expect_pairs:
+    tsv_paths = list(args.tsv)
+    delta_base = None
+    delta_tmp = None
+    if args.delta_from is not None:
+        import tempfile
+
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.tsv import (
+            SEN2FOREST_SRC,
+        )
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ensemble.fusion import (
+            load_tsv_scores,
+        )
+
+        delta_base = load_tsv_scores(args.delta_from)
+        # the rewrite trigger contains spaces, which cannot appear in the
+        # base64 feature columns, so a raw-line substring test is exact
+        matched = 0
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".tsv", delete=False, encoding="utf-8"
+        ) as tmp:
+            delta_tmp = tmp.name
+            for path in tsv_paths:
+                with open(path, "r", encoding="utf-8") as f:
+                    for line in f:
+                        if SEN2FOREST_SRC in line:
+                            tmp.write(line if line.endswith("\n") else line + "\n")
+                            matched += 1
         print(
-            f"ERROR: scored {stats.pairs} pairs, expected {args.expect_pairs} "
+            f"[delta] {matched} rewritten rows to rescore; "
+            f"{sum(len(r) for r in delta_base.values())} pairs copied from B",
+            file=sys.stderr,
+        )
+        tsv_paths = [delta_tmp]
+
+    result: dict[str, dict[str, float]]
+    if delta_base is not None and matched == 0:
+        # no query contains the trigger: C's score file IS B's score file
+        # (bit-identical by construction) -- skip params, compile, device
+        result = delta_base
+    else:
+        spec = get_model(args.model)
+        tok = (
+            FullTokenizer.hf_style(VOCAB_PATH)
+            if args.model == "lxmert"
+            else FullTokenizer.google_style(VOCAB_PATH)
+        )
+        featurizer = Featurizer(
+            tok, load_multimodal_labels(args.labels), sen2forest=spec.sen2forest
+        )
+        params = load_params(args.model, args.checkpoint, spec)
+        prec = Precision.f32() if args.precision == "f32" else Precision.bf16()
+        engine = ScoringEngine(spec, params, precision=prec)
+        result = engine.score_files(
+            tsv_paths, featurizer, args.batch_size, stats=stats
+        )
+        if delta_base is not None:
+            for qid, row in result.items():
+                for pid, s in row.items():
+                    if qid not in delta_base or pid not in delta_base[qid]:
+                        print(
+                            f"ERROR: rewritten pair ({qid}, {pid}) absent from "
+                            f"--delta-from file; the B score file must come "
+                            f"from the SAME tsv",
+                            file=sys.stderr,
+                        )
+                        raise SystemExit(4)
+                    delta_base[qid][pid] = s
+            result = delta_base
+    if delta_tmp is not None:
+        Path(delta_tmp).unlink(missing_ok=True)
+
+    total_pairs = (
+        sum(len(r) for r in result.values()) if delta_base is not None else stats.pairs
+    )
+    if args.expect_pairs is not None and total_pairs != args.expect_pairs:
+        print(
+            f"ERROR: scored {total_pairs} pairs, expected {args.expect_pairs} "
             f"({stats.pipeline.errors} parse errors) -- refusing to write a "
             f"short score file",
             file=sys.stderr,
@@ -128,16 +204,15 @@ def main() -> None:
 
         ndcg = evaluate_scores(result, load_answers(args.answers))
         print(json.dumps({"ndcg_at_5": round(ndcg, 6)}))
-    print(
-        json.dumps(
-            {
-                "pairs": stats.pairs,
-                "pairs_per_second": round(stats.pairs_per_second, 1),
-                "parse_errors": stats.pipeline.errors,
-                "out": args.out,
-            }
-        )
-    )
+    report = {
+        "pairs": total_pairs,
+        "pairs_per_second": round(stats.pairs_per_second, 1),
+        "parse_errors": stats.pipeline.errors,
+        "out": args.out,
+    }
+    if delta_base is not None:
+        report["scored_pairs"] = stats.pairs  # rows actually run on device
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

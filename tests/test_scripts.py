@@ -279,3 +279,122 @@ def test_main_cli_one_shot_submission(data_dir, tmp_path):
         "testB_score_a.txt", "testB_score_b.txt", "testB_score_c.txt",
         "testB_score_lxmert.csv",
     ]
+
+
+def _score(model, tsv, labels, out, extra=()):
+    r = _run(
+        [
+            "scripts/score.py",
+            "--model", model,
+            "--tsv", str(tsv),
+            "--labels", str(labels),
+            "--out", str(out),
+            "--batch-size", "8",
+            *extra,
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_c_delta_pass_bit_identical(data_dir, tmp_path):
+    """C-as-delta guard (round-3 verdict next-step 3): scoring only the
+    sen2forest-rewritten rows and copying B's scores for the rest must give
+    a score file bit-identical to the full C pass.  C is B's checkpoint plus
+    a data-layer query rewrite (imagebert_zk/load_data_v4.py:153-154), so
+    unaffected rows ARE B's scores by construction."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+        SYNTHETIC_QUERIES,
+        make_row,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # deterministic mix: rows 2, 5, 9 carry the rewrite trigger
+    rows = []
+    for i in range(12):
+        q = (
+            "sen department of sweet dress"
+            if i in (2, 5, 9)
+            else SYNTHETIC_QUERIES[i % 4 * 2]  # skip the sen query slot
+        )
+        assert (("sen department of" in q) == (i in (2, 5, 9)))
+        rows.append(make_row(rng, product_id=100 + i, query_id=500 + i, query=q))
+    tsv = tmp_path / "mix.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+    labels = data_dir / "labels.txt"
+
+    b_file = tmp_path / "b.txt"
+    _score("imagebert_b", tsv, labels, b_file)
+    c_full = tmp_path / "c_full.txt"
+    _score("imagebert_c", tsv, labels, c_full)
+    c_delta = tmp_path / "c_delta.txt"
+    stats = _score(
+        "imagebert_c", tsv, labels, c_delta, extra=("--delta-from", str(b_file))
+    )
+    assert stats["scored_pairs"] == 3, "only the 3 rewritten rows hit the device"
+    assert stats["pairs"] == 12
+    assert c_delta.read_text() == c_full.read_text()
+    # rewritten rows must genuinely differ from B (the rewrite changes them)
+    assert c_delta.read_text() != b_file.read_text()
+
+
+def test_c_delta_no_trigger_rows_skips_device(data_dir, tmp_path):
+    """With no 'sen department of' queries, the delta pass copies B's file
+    verbatim and never loads params or compiles."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+        make_row,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    rows = [
+        make_row(rng, product_id=200 + i, query_id=600 + i,
+                 query="men leather shoe breathable")
+        for i in range(6)
+    ]
+    tsv = tmp_path / "nosen.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+    labels = data_dir / "labels.txt"
+
+    b_file = tmp_path / "b.txt"
+    _score("imagebert_b", tsv, labels, b_file)
+    c_full = tmp_path / "c_full.txt"
+    _score("imagebert_c", tsv, labels, c_full)
+    c_delta = tmp_path / "c_delta.txt"
+    stats = _score(
+        "imagebert_c", tsv, labels, c_delta,
+        extra=("--delta-from", str(b_file), "--expect-pairs", "6"),
+    )
+    assert stats["scored_pairs"] == 0
+    assert c_delta.read_text() == c_full.read_text() == b_file.read_text()
+
+
+def test_c_delta_rejects_mismatched_base(data_dir, tmp_path):
+    """A B file from a DIFFERENT tsv must be refused, not silently merged."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+        make_row,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    tsv = tmp_path / "sen.tsv"
+    tsv.write_text(
+        make_row(rng, product_id=1, query_id=1,
+                 query="sen department of sweet dress") + "\n"
+    )
+    wrong_b = tmp_path / "wrong_b.txt"
+    wrong_b.write_text("999\t999\t0.5\n")
+    r = _run(
+        [
+            "scripts/score.py",
+            "--model", "imagebert_c",
+            "--tsv", str(tsv),
+            "--labels", str(data_dir / "labels.txt"),
+            "--out", str(tmp_path / "c.txt"),
+            "--batch-size", "8",
+            "--delta-from", str(wrong_b),
+        ]
+    )
+    assert r.returncode == 4
+    assert "absent from" in r.stderr
