@@ -131,6 +131,27 @@ def clip_by_value(grads, clip: float = 1.0):
     return jax.tree.map(lambda g: jnp.clip(g, -clip, clip), grads)
 
 
+def grad_group_norms(grads) -> dict:
+    """Per-layer-group L2 gradient norms, the TPU-native rebuild of the
+    reference's ``clip_by_global_norm_summary`` per-variable TF summaries
+    (``run_pretraining_predict_score.py:234-258``).
+
+    Groups by the first two pytree path components (``bert/embeddings``,
+    ``bert/encoder``, ``cls/seq_relationship``, ...) instead of per
+    variable: the encoder is scan-stacked here, so one "variable" already
+    holds all 12 layers, and a handful of group scalars is what a human
+    actually reads on a dashboard. Norms are accumulated in f32 so bf16
+    grads cannot overflow the sum of squares.
+    """
+    groups: dict[str, jax.Array] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        group = "/".join(keys[:2]) if len(keys) >= 2 else (keys[0] or "root")
+        sq = jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+        groups[group] = groups.get(group, 0.0) + sq
+    return {g: jnp.sqrt(s) for g, s in groups.items()}
+
+
 def adam_with_schedule(schedule) -> optax.GradientTransformation:
     """Plain Adam (bias-corrected) as used by zk train_normal.py:159."""
     return optax.inject_hyperparams(optax.adam)(learning_rate=schedule)

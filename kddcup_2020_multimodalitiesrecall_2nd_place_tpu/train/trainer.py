@@ -34,6 +34,7 @@ from .optim import (
     clip_by_global_norm,
     clip_by_value,
     exponential_staircase_schedule,
+    grad_group_norms,
     polynomial_warmup_schedule,
 )
 
@@ -63,6 +64,11 @@ class TrainConfig:
     # B word-match auxiliary loss, default off = the reference's
     # commented-out state (model_triple.py:207-210)
     word_match_loss_weight: float = 0.0
+    # per-layer-group pre/post-clip grad-norm metrics, the reference's
+    # do_summaries path (clip_by_global_norm_summary,
+    # run_pretraining_predict_score.py:234-258); off by default like the
+    # reference's flag
+    grad_summaries: bool = False
 
 
 def recipe_for(model_name: str) -> TrainConfig:
@@ -236,11 +242,17 @@ class Trainer:
         @partial(jax.jit, donate_argnums=(0, 1))
         def _apply(state: TrainState, grads):
             metrics = {}
+            if tc_.grad_summaries:
+                for g, n in grad_group_norms(grads).items():
+                    metrics[f"grad_norm_pre_clip/{g}"] = n
             if tc_.clip == "global_norm":
                 grads, gnorm = clip_by_global_norm(grads, tc_.clip_value)
                 metrics["grad_norm"] = gnorm
             elif tc_.clip == "value":
                 grads = clip_by_value(grads, tc_.clip_value)
+            if tc_.grad_summaries and tc_.clip != "none":
+                for g, n in grad_group_norms(grads).items():
+                    metrics[f"grad_norm_post_clip/{g}"] = n
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             ema = (

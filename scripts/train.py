@@ -58,6 +58,10 @@ def main() -> None:
                     help="orbax state directory (state_<N>) to resume from")
     ap.add_argument("--am-loss", action="store_true",
                     help="LXMERT: train the cosine logit_W head (--taskAMSloss)")
+    ap.add_argument("--grad-summaries", action="store_true",
+                    help="log per-layer-group pre/post-clip grad norms "
+                         "(the reference's clip_by_global_norm_summary, "
+                         "run_pretraining_predict_score.py:234-258)")
     ap.add_argument("--word-match-weight", type=float, default=0.0,
                     help="B word-match aux loss weight (reference default: off)")
     ap.add_argument("--valid-tsv", nargs="+", default=None,
@@ -143,6 +147,7 @@ def main() -> None:
         ms_loss_weight=args.ms_weight,
         am_loss=args.am_loss,
         word_match_loss_weight=args.word_match_weight,
+        grad_summaries=args.grad_summaries,
     )
     if args.lr is not None:
         overrides["learning_rate"] = args.lr

@@ -353,3 +353,67 @@ def test_word_match_loss_for_imagebert_b():
     assert float(metrics["loss"]) > float(metrics["word_match_loss"]) * 0  # finite
     head1 = np.asarray(state.params["kdd_query_match"]["output_weights"])
     assert not np.allclose(head0, head1)  # the aux head actually trains
+
+
+def test_grad_group_norm_summaries():
+    """Per-layer-group pre/post-clip grad norms (round-3 verdict item 9) --
+    the rebuilt clip_by_global_norm_summary
+    (run_pretraining_predict_score.py:234-258): keys appear, values finite,
+    global-norm clipping scales every group by the same factor."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train.optim import (
+        grad_group_norms,
+    )
+
+    mesh = make_mesh()
+    spec = _tiny_spec("imagebert_b")
+    # global-norm recipe (A's clip) with a tiny threshold so the clip FIRES
+    trainer = Trainer(
+        spec,
+        TrainConfig(optimizer="adam_staircase", clip="global_norm",
+                    clip_value=0.05, grad_summaries=True),
+        mesh=mesh,
+        precision=Precision.f32(),
+    )
+    state = trainer.init_state(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    B = 16
+    batch = {
+        "input_ids": rng.integers(0, TINY.vocab_size, (B, 20)).astype(np.int32),
+        "segment_ids": np.array([[0] * 20 + [1] * 10] * B, np.int32),
+        "boxes": rng.standard_normal((B, 10, 5)).astype(np.float32),
+        "features": rng.standard_normal((B, 10, 2048)).astype(np.float32),
+        "label_ids": rng.integers(0, TINY.vocab_size, (B, 10, 8)).astype(np.int32),
+        "len_query": rng.integers(3, 21, (B,)).astype(np.int32),
+        "num_boxes": rng.integers(1, 11, (B,)).astype(np.int32),
+        "labels": rng.integers(0, 2, (B,)).astype(np.int32),
+    }
+    state, metrics = trainer.train_step(state, batch, jax.random.key(0))
+
+    pre = {k.split("/", 1)[1]: float(v) for k, v in metrics.items()
+           if k.startswith("grad_norm_pre_clip/")}
+    post = {k.split("/", 1)[1]: float(v) for k, v in metrics.items()
+            if k.startswith("grad_norm_post_clip/")}
+    assert pre and set(pre) == set(post)
+    # the B param tree must yield the expected layer groups
+    assert any(g.startswith("bert/encoder") for g in pre)
+    assert any(g.startswith("bert/embeddings") for g in pre)
+    assert any(g.startswith("cls/") for g in pre)
+    for g in pre:
+        assert np.isfinite(pre[g]) and np.isfinite(post[g])
+    gnorm = float(metrics["grad_norm"])
+    assert np.isfinite(gnorm)
+    # pre-clip global norm must equal the root-sum-square of the groups
+    np.testing.assert_allclose(
+        gnorm, np.sqrt(sum(v * v for v in pre.values())), rtol=1e-5
+    )
+    # clip fired (threshold tiny): every group scaled by clip/gnorm
+    scale = 0.05 / gnorm
+    assert scale < 1.0
+    for g in pre:
+        if pre[g] > 0:
+            np.testing.assert_allclose(post[g], pre[g] * scale, rtol=1e-5)
+
+    # grad_group_norms itself matches a hand computation on a toy tree
+    toy = {"a": {"x": jnp.asarray([3.0, 4.0])}, "b": {"y": {"z": jnp.asarray([5.0])}}}
+    norms = {k: float(v) for k, v in grad_group_norms(toy).items()}
+    assert norms == {"a/x": 5.0, "b/y": 5.0}
