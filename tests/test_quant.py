@@ -131,3 +131,78 @@ def test_cast_residual_bf16_keeps_scales_f32():
     assert out["enc"][QUANT_SCALE].dtype == jnp.float32
     assert out["enc"]["bias"].dtype == jnp.bfloat16
     assert out["emb"].dtype == jnp.bfloat16
+
+
+MID = {
+    "hidden_size": 128,
+    "num_hidden_layers": 4,
+    "num_attention_heads": 4,
+    "intermediate_size": 512,
+}
+
+
+@pytest.mark.parametrize("name", ["imagebert_a", "imagebert_b"])
+def test_int8_rank_fidelity(name, monkeypatch):
+    """The product of this pipeline is a RANKING, so int8 serving must
+    guarantee rank fidelity, not just a score band (round-3 verdict item 7):
+    per-query Kendall tau, top-5 set overlap, and nDCG@5 delta vs f32 over a
+    synthetic valid set of 20 queries x 30 products.
+
+    Mid-size config (128-wide, 4 layers): tiny 32-wide configs give
+    near-uniform random-init scores where ties dominate; 128-wide gives a
+    score spread 30x the measured int8 drift, so rank churn here would be a
+    genuine quantisation failure, not tie noise."""
+    monkeypatch.setenv("KMR_CONFIG_OVERRIDES", json.dumps(MID))
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.batchspec import (
+        example_batch,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.eval.ndcg import (
+        evaluate_scores,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+
+    spec = get_model(name)
+    params = spec.init_params(jax.random.key(0))
+    n_queries, n_products = 20, 30
+    batch = example_batch(
+        name, spec.config, n_queries * n_products, np.random.default_rng(5)
+    )
+
+    def score(p):
+        return np.asarray(
+            jax.jit(lambda p, b: spec.apply(p, b, spec.config, Precision.f32())["score"])(
+                p, batch
+            )
+        )
+
+    f32 = score(params)
+    q8 = score(quantize_dense_tree(params))
+
+    taus, overlaps = [], []
+    f32_table, q8_table, answers = {}, {}, {}
+    for q in range(n_queries):
+        a = f32[q * n_products : (q + 1) * n_products]
+        b = q8[q * n_products : (q + 1) * n_products]
+        ii, jj = np.triu_indices(n_products, 1)
+        taus.append(float(np.mean(np.sign(a[ii] - a[jj]) * np.sign(b[ii] - b[jj]))))
+        top_a = np.argsort(-a)[:5]
+        top_b = np.argsort(-b)[:5]
+        overlaps.append(len(set(top_a) & set(top_b)) / 5)
+        qid = str(q)
+        f32_table[qid] = {str(p): float(a[p]) for p in range(n_products)}
+        q8_table[qid] = {str(p): float(b[p]) for p in range(n_products)}
+        # ground truth = the f32 ranking's top 5 (what serving must preserve)
+        answers[qid] = [str(p) for p in top_a]
+
+    assert np.mean(taus) >= 0.98, f"mean Kendall tau {np.mean(taus):.4f}"
+    assert np.min(taus) >= 0.95, f"min Kendall tau {np.min(taus):.4f}"
+    assert np.mean(overlaps) >= 0.95, f"mean top-5 overlap {np.mean(overlaps):.3f}"
+    assert np.min(overlaps) >= 0.8, f"min top-5 overlap {np.min(overlaps):.3f}"
+
+    ndcg_f32 = evaluate_scores(f32_table, answers)  # == 1.0 by construction
+    ndcg_q8 = evaluate_scores(q8_table, answers)
+    assert ndcg_f32 == pytest.approx(1.0)
+    assert ndcg_f32 - ndcg_q8 <= 0.01, f"nDCG@5 delta {ndcg_f32 - ndcg_q8:.4f}"
