@@ -14,6 +14,7 @@ am_kernel [768, 2]), so a narrower test config cannot execute.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -51,19 +52,42 @@ CFG = dict(
 )
 
 
-def _jax_cfg() -> BertConfig:
-    return BertConfig(**CFG)
+# the shipped production shape (assets/user_data/bert_config.json): the
+# full-depth cross-checks exercise scan-stack accumulation over all 12
+# layers, which depth-2 parity cannot (round-3 verdict item 4)
+FULL_CFG = dict(
+    vocab_size=21128,
+    hidden_size=768,
+    num_hidden_layers=12,
+    num_attention_heads=12,
+    intermediate_size=3072,
+    hidden_act="gelu",
+    hidden_dropout_prob=0.1,
+    attention_probs_dropout_prob=0.1,
+    max_position_embeddings=512,
+    type_vocab_size=2,
+    initializer_range=0.02,
+)
+
+slow = pytest.mark.skipif(
+    not os.environ.get("KMR_SLOW_TESTS"),
+    reason="full-depth (12x768) TF cross-check; set KMR_SLOW_TESTS=1",
+)
 
 
-def test_imagebert_a_matches_reference_tf_graph(reference_dir):
+def _jax_cfg(cfg=None) -> BertConfig:
+    return BertConfig(**(cfg or CFG))
+
+
+def _run_a_parity(reference_dir, cfg_dict):
     """pixelmodel.BertModel + NSP head (run_pretraining_evaluate.py:479-501)
     vs models/imagebert_a.py, same random weights, tol 1e-4."""
     src = reference_dir / "code/imagebert_lds/src/pixelmodel.py"
     rng = np.random.default_rng(7)
-    input_ids = rng.integers(0, CFG["vocab_size"], (B, 20)).astype(np.int32)
+    input_ids = rng.integers(0, cfg_dict["vocab_size"], (B, 20)).astype(np.int32)
     segment_ids = (rng.random((B, 20)) < 0.3).astype(np.int32)
     features = rng.standard_normal((B, 10, 2048)).astype(np.float32)
-    label_ids = rng.integers(0, CFG["vocab_size"], (B, 10, 8)).astype(np.int32)
+    label_ids = rng.integers(0, cfg_dict["vocab_size"], (B, 10, 8)).astype(np.int32)
 
     with reference_tf_modules(("ref_pixelmodel", str(src))) as mods:
         pm = mods["ref_pixelmodel"]
@@ -71,7 +95,7 @@ def test_imagebert_a_matches_reference_tf_graph(reference_dir):
 
         graph = tf1.Graph()
         with graph.as_default():
-            cfg_tf = pm.BertConfig(**CFG)
+            cfg_tf = pm.BertConfig(**cfg_dict)
             ids_ph = tf1.placeholder(tf1.int32, [B, 20])
             seg_ph = tf1.placeholder(tf1.int32, [B, 20])
             feat_ph = tf1.placeholder(tf1.float32, [B, 10, 2048])
@@ -87,8 +111,8 @@ def test_imagebert_a_matches_reference_tf_graph(reference_dir):
             # NSP scoring head, exactly run_pretraining_evaluate.py:479-501
             with tf1.variable_scope("cls/seq_relationship"):
                 w = tf1.get_variable(
-                    "output_weights", [2, CFG["hidden_size"]],
-                    initializer=pm.create_initializer(CFG["initializer_range"]),
+                    "output_weights", [2, cfg_dict["hidden_size"]],
+                    initializer=pm.create_initializer(cfg_dict["initializer_range"]),
                 )
                 b = tf1.get_variable("output_bias", [2], initializer=tf1.zeros_initializer())
                 logits = tf1.nn.bias_add(tf1.matmul(model.get_pooled_output(), w, transpose_b=True), b)
@@ -99,7 +123,7 @@ def test_imagebert_a_matches_reference_tf_graph(reference_dir):
             {ids_ph: input_ids, seg_ph: segment_ids, feat_ph: features, lab_ph: label_ids},
         )
 
-    cfg = _jax_cfg()
+    cfg = _jax_cfg(cfg_dict)
     params = imagebert_a_from_tf(tf_vars, cfg)
     batch = {
         "input_ids": input_ids,
@@ -111,24 +135,37 @@ def test_imagebert_a_matches_reference_tf_graph(reference_dir):
     np.testing.assert_allclose(np.asarray(out["probs"]), tf_probs, atol=1e-4, rtol=1e-4)
 
 
-def _build_ref_b_graph(reference_dir, tmp_path):
+def test_imagebert_a_matches_reference_tf_graph(reference_dir):
+    _run_a_parity(reference_dir, CFG)
+
+
+@slow
+def test_imagebert_a_full_depth_matches_reference_tf_graph(reference_dir):
+    """All 12 layers at the shipped 768/3072 config: catches scan-stack
+    accumulation drift that depth-2 parity cannot
+    (pixelmodel.py:121-304 at production shape)."""
+    _run_a_parity(reference_dir, FULL_CFG)
+
+
+def _build_ref_b_graph(reference_dir, tmp_path, cfg_dict=None):
     """Build model_attention_channel_e's graph from the untouched reference
     sources. -> (graph, probs_tensor, feed_dict, batch_for_jax)."""
+    cfg_dict = cfg_dict or CFG
     zk = reference_dir / "code/imagebert_zk"
     # model_triple.py:19 reads ../user_data/bert_config.json at import time
     (tmp_path / "user_data").mkdir()
-    (tmp_path / "user_data/bert_config.json").write_text(json.dumps(CFG))
+    (tmp_path / "user_data/bert_config.json").write_text(json.dumps(cfg_dict))
     code_dir = tmp_path / "code"
     code_dir.mkdir()
 
     rng = np.random.default_rng(11)
-    input_ids = rng.integers(0, CFG["vocab_size"], (B, 20)).astype(np.int32)
+    input_ids = rng.integers(0, cfg_dict["vocab_size"], (B, 20)).astype(np.int32)
     segment_ids = np.concatenate(
         [np.zeros((B, 20), np.int32), np.ones((B, 10), np.int32)], axis=1
     )
     boxes = rng.standard_normal((B, 10, 5)).astype(np.float32)
     features = rng.standard_normal((B, 10, 2048)).astype(np.float32)
-    label_ids = rng.integers(0, CFG["vocab_size"], (B, 10, 8)).astype(np.int32)
+    label_ids = rng.integers(0, cfg_dict["vocab_size"], (B, 10, 8)).astype(np.int32)
     len_query = rng.integers(3, 21, (B,)).astype(np.int32)
     num_boxes = rng.integers(1, 11, (B,)).astype(np.int32)
     labels = rng.integers(0, 2, (B,)).astype(np.int32)
@@ -178,8 +215,8 @@ def _build_ref_b_graph(reference_dir, tmp_path):
     return graph, probs, feed, batch
 
 
-def _jax_b_probs(tf_vars, batch, ema: bool) -> np.ndarray:
-    cfg = _jax_cfg()
+def _jax_b_probs(tf_vars, batch, ema: bool, cfg_dict=None) -> np.ndarray:
+    cfg = _jax_cfg(cfg_dict)
     params = imagebert_b_from_tf(tf_vars, cfg, ema=ema)
     out = jax_b.apply(jax.tree.map(np.asarray, params), batch, cfg, Precision.f32())
     return np.asarray(out["probs"])
@@ -191,6 +228,20 @@ def test_imagebert_b_matches_reference_tf_graph(reference_dir, tmp_path):
     graph, probs, feed, batch = _build_ref_b_graph(reference_dir, tmp_path)
     (tf_probs,), tf_vars = run_graph(graph, [probs], feed)
     np.testing.assert_allclose(_jax_b_probs(tf_vars, batch, ema=False), tf_probs, atol=1e-4, rtol=1e-4)
+
+
+@slow
+def test_imagebert_b_full_depth_matches_reference_tf_graph(reference_dir, tmp_path):
+    """All 12 layers at the shipped 768/3072 config
+    (pixelbert.py:126-312 at production shape)."""
+    graph, probs, feed, batch = _build_ref_b_graph(
+        reference_dir, tmp_path, FULL_CFG
+    )
+    (tf_probs,), tf_vars = run_graph(graph, [probs], feed)
+    np.testing.assert_allclose(
+        _jax_b_probs(tf_vars, batch, ema=False, cfg_dict=FULL_CFG),
+        tf_probs, atol=1e-4, rtol=1e-4,
+    )
 
 
 def test_tf_bundle_reads_real_saver_checkpoint_with_ema(reference_dir, tmp_path):
