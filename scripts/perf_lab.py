@@ -66,6 +66,12 @@ def _emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
+def _timed(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
 def _bf16_params(spec):
     # one jitted cast program (eager per-leaf casts = per-shape remote compiles)
     return jax.jit(
@@ -278,6 +284,78 @@ def cmd_grad(name: str, B: int, with_dropout: bool):
     t = _time(f, params, batch, iters=4)
     _emit(cmd="grad", model=name, B=B, dropout=with_dropout,
           ms=round(t * 1e3, 2))
+
+
+def cmd_host(n_rows: int = 4000, batch_size: int = 512):
+    """Host input-pipeline throughput in rows/s on THIS host (no device):
+    native C++ parse alone, the full native pipeline (parse + label-LUT +
+    cached query tokenize + batch assembly), and the per-example python
+    path, over a synthetic testB-format TSV (~500 unique queries per 29k
+    rows like the real set). Replaces the ROADMAP prose estimate with a
+    committed measurement (round-3 verdict item 5). Context: the
+    reference's CPU hot loop is load_data_pred.py:94-121, one
+    read_line per pair."""
+    import tempfile
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import Featurizer
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.fast_pipeline import (
+        native_batches_from_files,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.native import (
+        parse_pairs_native,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.pipeline import (
+        batches_from_files,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+        SYNTHETIC_LABELS,
+        make_tsv,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.tokenization import (
+        FullTokenizer,
+    )
+
+    rows = make_tsv(
+        n_rows, seed=0, header=False, n_queries=max(1, n_rows * 500 // 29005)
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False) as f:
+        path = f.name
+        f.write("\n".join(rows) + "\n")
+    buf = open(path, "rb").read()
+    fz = Featurizer(FullTokenizer.google_style(VOCAB_PATH), dict(SYNTHETIC_LABELS))
+
+    # warmup: first call builds the ctypes library (g++ compile) and faults
+    # the buffer in; exclude both from the timing
+    parse_pairs_native(("\n".join(rows[:64]) + "\n").encode())
+
+    # best-of-3: this is a shared 1-core host, a single rep can read 3x low
+    reps = 3
+    t_parse = min(
+        _timed(lambda: parse_pairs_native(buf)) for _ in range(reps)
+    )
+    raw = parse_pairs_native(buf)
+    assert len(raw["product_id"]) == n_rows and raw["n_errors"] == 0
+    _emit(cmd="host", case="native_parse_only", rows=n_rows,
+          mb=round(len(buf) / 1e6, 1),
+          rows_per_s=round(n_rows / t_parse, 1),
+          mb_per_s=round(len(buf) / 1e6 / t_parse, 1))
+
+    for case, make_iter in (
+        ("native_pipeline", lambda: native_batches_from_files(
+            [path], fz, "imagebert_b", batch_size)),
+        ("python_pipeline", lambda: batches_from_files(
+            [path], fz.for_model("imagebert_b"), batch_size, prefetch=0)),
+    ):
+        def drain():
+            n_out = sum(int(b["valid"].sum()) for b in make_iter())
+            assert n_out == n_rows
+        dt = min(_timed(drain) for _ in range(reps))
+        rate = n_rows / dt
+        _emit(cmd="host", case=case, rows=n_rows, batch=batch_size,
+              rows_per_s=round(rate, 1),
+              loader_cores_per_chip_at_25k=round(25000 / rate, 2))
+    os.unlink(path)
 
 
 def cmd_int8(M: int = 8192, K: int = 2048, N: int = 2048):
@@ -569,6 +647,8 @@ def main():
         _emit(cmd="trace_train", model=name, B=B, dir=out_dir)
     elif cmd == "int8":
         cmd_int8(*(int(v) for v in a[:3]))
+    elif cmd == "host":
+        cmd_host(*(int(v) for v in a[:2]))
     elif cmd == "stages":
         cmd_stages(a[0], int(a[1]) if len(a) > 1 else 8192)
     elif cmd == "attn":
