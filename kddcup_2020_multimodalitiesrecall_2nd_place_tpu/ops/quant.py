@@ -51,17 +51,29 @@ def dense_q8(p: Params, x: jax.Array) -> jax.Array:
     return y + p["bias"].astype(jnp.float32)
 
 
-def quantize_dense_tree(params, *, skip_paths: tuple[str, ...] = ()) -> Params:
+def quantize_dense_tree(
+    params,
+    *,
+    skip_paths: tuple[str, ...] = (),
+    only_paths: tuple[str, ...] | None = None,
+) -> Params:
     """Replace every {kernel, bias} dense in the tree with its int8 form.
 
     ``skip_paths``: substrings of the '/'-joined path to leave in full
     precision (e.g. heads whose 2-wide outputs gain nothing from int8).
+    ``only_paths``: if given, quantise ONLY denses whose path contains one
+    of these substrings -- e.g. ``("ffn",)`` for the FFN-only serving mode:
+    the measured int8 MXU win is shape-gated to >=2048-wide contractions
+    (docs/BENCH.md), which on this family means exactly the M.768.3072 and
+    M.3072.768 FFN matmuls (~2/3 of per-pair FLOPs); the 768-wide attention
+    projections stay bf16 where int8 measures <= 1.0x.
     """
 
     def rec(node, path: str):
         if isinstance(node, dict):
             if "kernel" in node and "bias" in node and node["kernel"].ndim >= 2:
-                if not any(s in path for s in skip_paths):
+                wanted = only_paths is None or any(s in path for s in only_paths)
+                if wanted and not any(s in path for s in skip_paths):
                     q = quantize_kernel(node["kernel"])
                     return {**q, "bias": node["bias"]}
             return {k: rec(v, f"{path}/{k}") for k, v in node.items()}

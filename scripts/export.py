@@ -46,7 +46,7 @@ def main() -> None:
     ap.add_argument("--backend", choices=["xla", "pallas_packed"], default="xla",
                     help="xla = portable StableHLO; pallas_packed pins the "
                     "artifact to the exporting compiler version")
-    ap.add_argument("--quantize", choices=["int8"], default=None,
+    ap.add_argument("--quantize", choices=["int8", "int8-ffn"], default=None,
                     help="bake int8 per-channel weights (4x smaller "
                     "artifact; dynamic activation quant at run time; the "
                     "scoring heads stay full precision -- AM margins are "
@@ -109,13 +109,19 @@ def main() -> None:
     else:
         spec = get_model(args.model)
         params = load_params(args.model, args.checkpoint, spec)
-        if args.quantize == "int8":
+        if args.quantize in ("int8", "int8-ffn"):
             from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
                 cast_residual_bf16,
                 quantize_dense_tree,
             )
 
-            params = quantize_dense_tree(params, skip_paths=("cls",))
+            # int8-ffn: quantise only the >=2048-wide FFN matmuls where the
+            # MXU int8 rate actually wins (shape-gated, docs/BENCH.md);
+            # attention projections stay bf16
+            only = ("ffn",) if args.quantize == "int8-ffn" else None
+            params = quantize_dense_tree(
+                params, skip_paths=("cls",), only_paths=only
+            )
             if args.precision == "bf16":
                 # same skip paths: the margin-sensitive heads stay f32,
                 # not merely unquantised

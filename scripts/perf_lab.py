@@ -4,6 +4,7 @@
 Subcommands (each prints one JSON line per measurement):
 
   model  <name> [B]         whole-model scoring throughput (bf16, packed)
+  model_q8 <name> [B] [ffn|full]  int8 serving mode (FFN-only by default)
   stages <name> [B]         per-stage split: embed / encoder / head
   train  <name> [B]         full train step (fused custom-VJP path on TPU)
   grad   <name> [B] [nodrop] value_and_grad alone (dropout toggled)
@@ -15,6 +16,7 @@ Subcommands (each prints one JSON line per measurement):
   cross_hp <F> <T> [B]      head-packed cross-attention sweep
   dualcross <F> <T> [B] [variant]  fused dual-direction x-layer cross pair
   int8   [M K N]            int8 vs bf16 MXU rate + quantised dense layer
+  host   [rows] [batch]     host input-pipeline rows/s (no device)
   trace  <name> <B> <dir>   jax.profiler capture around scoring steps
   trace_train <name> <B> <dir>  same around 2 full training steps
 
@@ -97,6 +99,39 @@ def cmd_model(name: str, B: int):
         f = jax.jit(lambda p, b: spec.apply(p, b, spec.config, Precision.bf16())["score"])
         dt = _time(f, params, batch)
     _emit(cmd="model", model=name, B=B, ms=round(dt * 1e3, 2),
+          pairs_per_sec=round(B / dt, 1))
+
+
+def cmd_model_q8(name: str, B: int, mode: str = "ffn"):
+    """Whole-model int8 serving throughput: ``ffn`` quantises only the
+    >=2048-wide FFN matmuls (the shape-gated int8 win, docs/BENCH.md int8
+    table), ``full`` quantises every dense. Residual leaves cast bf16 like
+    the export path; compare against ``model`` for the bf16 baseline."""
+    from scripts.bench_all import make_batch
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
+        Precision,
+        get_model,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops import attention
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
+        cast_residual_bf16,
+        quantize_dense_tree,
+    )
+
+    spec = get_model(name)
+    only = ("ffn",) if mode == "ffn" else None
+    params = jax.jit(
+        lambda p: cast_residual_bf16(
+            quantize_dense_tree(p, skip_paths=("cls",), only_paths=only),
+            skip_paths=("cls",),
+        )
+    )(spec.init_params(jax.random.key(0)))
+    batch = jax.device_put(make_batch(name, spec.config, B, np.random.default_rng(0)))
+    with attention.attention_backend("pallas_packed"):
+        f = jax.jit(lambda p, b: spec.apply(p, b, spec.config, Precision.bf16())["score"])
+        dt = _time(f, params, batch)
+    _emit(cmd="model_q8", model=name, B=B, mode=mode, ms=round(dt * 1e3, 2),
           pairs_per_sec=round(B / dt, 1))
 
 
@@ -580,6 +615,9 @@ def main():
     a = sys.argv[2:]
     if cmd == "model":
         cmd_model(a[0], int(a[1]) if len(a) > 1 else 8192)
+    elif cmd == "model_q8":
+        cmd_model_q8(a[0], int(a[1]) if len(a) > 1 else 8192,
+                     a[2] if len(a) > 2 else "ffn")
     elif cmd == "train":
         cmd_train(a[0], int(a[1]) if len(a) > 1 else 1024)
     elif cmd == "grad":

@@ -189,3 +189,47 @@ def test_export_cli(tmp_path):
         spec.apply(params, batch, spec.config, Precision.f32())["score"]
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_export_cli_int8_ffn(tmp_path):
+    """--quantize int8-ffn: artifact quantises only FFN denses and
+    reproduces the live ffn-only quantized apply exactly."""
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "JAX_PLATFORM_NAME": "cpu",
+        "KMR_CONFIG_OVERRIDES": json.dumps(TINY),
+    }
+    out = tmp_path / "artifact"
+    r = subprocess.run(
+        [
+            sys.executable, "scripts/export.py",
+            "--model", "imagebert_a",
+            "--batch-size", "4",
+            "--precision", "f32",
+            "--quantize", "int8-ffn",
+            "--out", str(out),
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["quantize"] == "int8-ffn"
+    assert json.loads((out / "meta.json").read_text())["quantize"] == "int8-ffn"
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
+        quantize_dense_tree,
+    )
+
+    scorer = load_scorer(out)
+    spec = get_model("imagebert_a")
+    params = quantize_dense_tree(
+        spec.init_params(jax.random.key(0)), skip_paths=("cls",),
+        only_paths=("ffn",),
+    )
+    batch = example_batch("imagebert_a", spec.config, 4, np.random.default_rng(3))
+    got = scorer(batch)
+    want = np.asarray(
+        spec.apply(params, batch, spec.config, Precision.f32())["score"]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)

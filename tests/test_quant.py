@@ -206,3 +206,45 @@ def test_int8_rank_fidelity(name, monkeypatch):
     ndcg_q8 = evaluate_scores(q8_table, answers)
     assert ndcg_f32 == pytest.approx(1.0)
     assert ndcg_f32 - ndcg_q8 <= 0.01, f"nDCG@5 delta {ndcg_f32 - ndcg_q8:.4f}"
+
+
+def test_quantize_only_paths_ffn():
+    """FFN-only mode (only_paths): quantise exactly the ffn denses, leave
+    attention projections and heads full precision -- the shape-gated
+    serving mode (int8 wins at >=2048-wide contractions only)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import get_model
+    import os
+
+    os.environ["KMR_CONFIG_OVERRIDES"] = json.dumps(TINY)
+    try:
+        spec = get_model("imagebert_a")
+        params = spec.init_params(jax.random.key(0))
+    finally:
+        del os.environ["KMR_CONFIG_OVERRIDES"]
+    q = quantize_dense_tree(params, skip_paths=("cls",), only_paths=("ffn",))
+    enc = q["bert"]["encoder"]
+    assert is_quantized(enc["ffn"]["intermediate"])
+    assert is_quantized(enc["ffn"]["output"]["dense"])
+    assert not is_quantized(enc["attention"]["query"])
+    assert not is_quantized(enc["attention"]["output"]["dense"])
+    assert not is_quantized(q["bert"]["pooler"]["dense"])
+    assert "output_weights" in q["cls"]["seq_relationship"]
+
+    # ffn-only scores sit strictly closer to f32 than full int8 (it is a
+    # subset of the same rounding), and well inside the 0.05 band
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.batchspec import (
+        example_batch,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import Precision
+
+    batch = example_batch("imagebert_a", spec.config, 16, np.random.default_rng(6))
+    f32 = np.asarray(spec.apply(params, batch, spec.config, Precision.f32())["score"])
+    ffn = np.asarray(spec.apply(q, batch, spec.config, Precision.f32())["score"])
+    full = np.asarray(
+        spec.apply(
+            quantize_dense_tree(params, skip_paths=("cls",)),
+            batch, spec.config, Precision.f32(),
+        )["score"]
+    )
+    assert np.abs(ffn - f32).max() < 0.05
+    assert np.abs(ffn - f32).mean() <= np.abs(full - f32).mean() + 1e-6
