@@ -119,6 +119,8 @@ def cmd_model_q8(name: str, B: int, mode: str = "ffn"):
         quantize_dense_tree,
     )
 
+    if mode not in ("ffn", "full"):
+        raise SystemExit(f"model_q8 mode must be 'ffn' or 'full', got {mode!r}")
     spec = get_model(name)
     only = ("ffn",) if mode == "ffn" else None
     params = jax.jit(
@@ -357,40 +359,43 @@ def cmd_host(n_rows: int = 4000, batch_size: int = 512):
     with tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False) as f:
         path = f.name
         f.write("\n".join(rows) + "\n")
-    buf = open(path, "rb").read()
-    fz = Featurizer(FullTokenizer.google_style(VOCAB_PATH), dict(SYNTHETIC_LABELS))
+    try:
+        with open(path, "rb") as fb:
+            buf = fb.read()
+        fz = Featurizer(FullTokenizer.google_style(VOCAB_PATH), dict(SYNTHETIC_LABELS))
 
-    # warmup: first call builds the ctypes library (g++ compile) and faults
-    # the buffer in; exclude both from the timing
-    parse_pairs_native(("\n".join(rows[:64]) + "\n").encode())
+        # warmup: first call builds the ctypes library (g++ compile) and
+        # faults the buffer in; exclude both from the timing
+        parse_pairs_native(("\n".join(rows[:64]) + "\n").encode())
 
-    # best-of-3: this is a shared 1-core host, a single rep can read 3x low
-    reps = 3
-    t_parse = min(
-        _timed(lambda: parse_pairs_native(buf)) for _ in range(reps)
-    )
-    raw = parse_pairs_native(buf)
-    assert len(raw["product_id"]) == n_rows and raw["n_errors"] == 0
-    _emit(cmd="host", case="native_parse_only", rows=n_rows,
-          mb=round(len(buf) / 1e6, 1),
-          rows_per_s=round(n_rows / t_parse, 1),
-          mb_per_s=round(len(buf) / 1e6 / t_parse, 1))
+        # best-of-3: a shared 1-core host; a single rep can read 3x low
+        reps = 3
+        t_parse = min(
+            _timed(lambda: parse_pairs_native(buf)) for _ in range(reps)
+        )
+        raw = parse_pairs_native(buf)
+        assert len(raw["product_id"]) == n_rows and raw["n_errors"] == 0
+        _emit(cmd="host", case="native_parse_only", rows=n_rows,
+              mb=round(len(buf) / 1e6, 1),
+              rows_per_s=round(n_rows / t_parse, 1),
+              mb_per_s=round(len(buf) / 1e6 / t_parse, 1))
 
-    for case, make_iter in (
-        ("native_pipeline", lambda: native_batches_from_files(
-            [path], fz, "imagebert_b", batch_size)),
-        ("python_pipeline", lambda: batches_from_files(
-            [path], fz.for_model("imagebert_b"), batch_size, prefetch=0)),
-    ):
-        def drain():
-            n_out = sum(int(b["valid"].sum()) for b in make_iter())
-            assert n_out == n_rows
-        dt = min(_timed(drain) for _ in range(reps))
-        rate = n_rows / dt
-        _emit(cmd="host", case=case, rows=n_rows, batch=batch_size,
-              rows_per_s=round(rate, 1),
-              loader_cores_per_chip_at_25k=round(25000 / rate, 2))
-    os.unlink(path)
+        for case, make_iter in (
+            ("native_pipeline", lambda: native_batches_from_files(
+                [path], fz, "imagebert_b", batch_size)),
+            ("python_pipeline", lambda: batches_from_files(
+                [path], fz.for_model("imagebert_b"), batch_size, prefetch=0)),
+        ):
+            def drain():
+                n_out = sum(int(b["valid"].sum()) for b in make_iter())
+                assert n_out == n_rows
+            dt = min(_timed(drain) for _ in range(reps))
+            rate = n_rows / dt
+            _emit(cmd="host", case=case, rows=n_rows, batch=batch_size,
+                  rows_per_s=round(rate, 1),
+                  loader_cores_per_chip_at_25k=round(25000 / rate, 2))
+    finally:
+        os.unlink(path)
 
 
 def cmd_int8(M: int = 8192, K: int = 2048, N: int = 2048):
@@ -404,25 +409,36 @@ def cmd_int8(M: int = 8192, K: int = 2048, N: int = 2048):
         quantize_kernel,
     )
 
-    assert N >= K, "N >= K required (the loop body slices [M,N] back to [M,K])"
     flops = 2.0 * M * K * N
 
+    def _back_to_mk(out):
+        # _looped needs a shape-preserving carry: rebuild an [M,K] input
+        # from the [M,N] product. N >= K slices (an M*K-element write, the
+        # original methodology); N < K tiles columns then slices -- the
+        # same M*K-element write, so both regimes pay the same overhead
+        # next to the matmul.
+        if N >= K:
+            return out[:, :K]
+        reps = -(-K // N)
+        return jnp.concatenate([out] * reps, axis=1)[:, :K]
+
     def time_mm(dtype_name, a, b):
-        # _looped needs a shape-preserving body: slice the [M,N] product
-        # back to [M,K] (free next to the matmul) and recast to the input
-        # dtype so the fori_loop carry feeds the next iteration
         if dtype_name == "int8":
             fn = lambda a, b=b: (  # noqa: E731
-                jax.lax.dot_general(
-                    a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )[:, :K] % 127
+                _back_to_mk(
+                    jax.lax.dot_general(
+                        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                ) % 127
             ).astype(jnp.int8)
         else:
-            fn = lambda a, b=b: jax.lax.dot_general(  # noqa: E731
-                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[:, :K].astype(a.dtype)
+            fn = lambda a, b=b: _back_to_mk(  # noqa: E731
+                jax.lax.dot_general(
+                    a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(a.dtype)
         dt = _time(_looped(fn), a) / LOOP_N
         _emit(cmd="int8", case=f"matmul_{dtype_name}", M=M, K=K, N=N,
               ms=round(dt * 1e3, 3), tops=round(flops / dt / 1e12, 1))
@@ -449,13 +465,13 @@ def cmd_int8(M: int = 8192, K: int = 2048, N: int = 2048):
     w = rng.standard_normal((K, N)).astype(np.float32)
     pq = jax.jit(quantize_kernel)(jax.device_put(w))
     pq = {**pq, "bias": jax.device_put(np.zeros(N, np.float32))}
-    f_q8 = _looped(lambda x: dense_q8(pq, x)[:, :K])
+    f_q8 = _looped(lambda x: _back_to_mk(dense_q8(pq, x)))
     dt_q8 = _time(f_q8, x) / LOOP_N
     wb = jax.device_put(w.astype(jnp.bfloat16))
     f_bf = _looped(
-        lambda x: jnp.dot(
-            x.astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32
-        )[:, :K].astype(jnp.float32)
+        lambda x: _back_to_mk(
+            jnp.dot(x.astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32)
+        ).astype(jnp.float32)
     )
     dt_bf = _time(f_bf, x) / LOOP_N
     _emit(cmd="int8", case="dense_q8", ms=round(dt_q8 * 1e3, 3),

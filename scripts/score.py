@@ -120,15 +120,18 @@ def main() -> None:
 
         from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.tsv import (
             SEN2FOREST_SRC,
+            is_header,
         )
         from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ensemble.fusion import (
             load_tsv_scores,
         )
 
         delta_base = load_tsv_scores(args.delta_from)
+        base_pairs = sum(len(r) for r in delta_base.values())
         # the rewrite trigger contains spaces, which cannot appear in the
         # base64 feature columns, so a raw-line substring test is exact
         matched = 0
+        tsv_rows = 0
         with tempfile.NamedTemporaryFile(
             "w", suffix=".tsv", delete=False, encoding="utf-8"
         ) as tmp:
@@ -136,52 +139,68 @@ def main() -> None:
             for path in tsv_paths:
                 with open(path, "r", encoding="utf-8") as f:
                     for line in f:
+                        if is_header(line) or not line.strip():
+                            continue
+                        tsv_rows += 1
                         if SEN2FOREST_SRC in line:
                             tmp.write(line if line.endswith("\n") else line + "\n")
                             matched += 1
+        if base_pairs != tsv_rows:
+            # one-directional membership checks would silently merge a B
+            # file scored from a DIFFERENT (superset) tsv; refuse up front
+            print(
+                f"ERROR: --delta-from file has {base_pairs} pairs but the "
+                f"tsv has {tsv_rows} rows; the B score file must come from "
+                f"the SAME tsv",
+                file=sys.stderr,
+            )
+            raise SystemExit(4)
         print(
             f"[delta] {matched} rewritten rows to rescore; "
-            f"{sum(len(r) for r in delta_base.values())} pairs copied from B",
+            f"{base_pairs} pairs copied from B",
             file=sys.stderr,
         )
         tsv_paths = [delta_tmp]
 
     result: dict[str, dict[str, float]]
-    if delta_base is not None and matched == 0:
-        # no query contains the trigger: C's score file IS B's score file
-        # (bit-identical by construction) -- skip params, compile, device
-        result = delta_base
-    else:
-        spec = get_model(args.model)
-        tok = (
-            FullTokenizer.hf_style(VOCAB_PATH)
-            if args.model == "lxmert"
-            else FullTokenizer.google_style(VOCAB_PATH)
-        )
-        featurizer = Featurizer(
-            tok, load_multimodal_labels(args.labels), sen2forest=spec.sen2forest
-        )
-        params = load_params(args.model, args.checkpoint, spec)
-        prec = Precision.f32() if args.precision == "f32" else Precision.bf16()
-        engine = ScoringEngine(spec, params, precision=prec)
-        result = engine.score_files(
-            tsv_paths, featurizer, args.batch_size, stats=stats
-        )
-        if delta_base is not None:
-            for qid, row in result.items():
-                for pid, s in row.items():
-                    if qid not in delta_base or pid not in delta_base[qid]:
-                        print(
-                            f"ERROR: rewritten pair ({qid}, {pid}) absent from "
-                            f"--delta-from file; the B score file must come "
-                            f"from the SAME tsv",
-                            file=sys.stderr,
-                        )
-                        raise SystemExit(4)
-                    delta_base[qid][pid] = s
+    try:
+        if delta_base is not None and matched == 0:
+            # no query contains the trigger: C's score file IS B's score file
+            # (bit-identical by construction) -- skip params, compile, device
             result = delta_base
-    if delta_tmp is not None:
-        Path(delta_tmp).unlink(missing_ok=True)
+        else:
+            spec = get_model(args.model)
+            tok = (
+                FullTokenizer.hf_style(VOCAB_PATH)
+                if args.model == "lxmert"
+                else FullTokenizer.google_style(VOCAB_PATH)
+            )
+            featurizer = Featurizer(
+                tok, load_multimodal_labels(args.labels), sen2forest=spec.sen2forest
+            )
+            params = load_params(args.model, args.checkpoint, spec)
+            prec = Precision.f32() if args.precision == "f32" else Precision.bf16()
+            engine = ScoringEngine(spec, params, precision=prec)
+            result = engine.score_files(
+                tsv_paths, featurizer, args.batch_size, stats=stats
+            )
+            if delta_base is not None:
+                for qid, row in result.items():
+                    for pid, s in row.items():
+                        if qid not in delta_base or pid not in delta_base[qid]:
+                            print(
+                                f"ERROR: rewritten pair ({qid}, {pid}) absent from "
+                                f"--delta-from file; the B score file must come "
+                                f"from the SAME tsv",
+                                file=sys.stderr,
+                            )
+                            raise SystemExit(4)
+                        delta_base[qid][pid] = s
+                result = delta_base
+
+    finally:
+        if delta_tmp is not None:
+            Path(delta_tmp).unlink(missing_ok=True)
 
     total_pairs = (
         sum(len(r) for r in result.values()) if delta_base is not None else stats.pairs

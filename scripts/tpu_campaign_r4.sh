@@ -34,10 +34,14 @@ step() {
   wait_for_tunnel
   echo "[campaign] $(date +%T) START $name: $*"
   timeout -k 60 "$tmo" "$@"
-  echo "[campaign] $(date +%T) END $name rc=$?"
+  local rc=$?  # capture BEFORE any command substitution resets $?
+  echo "[campaign] $(date +%T) END $name rc=$rc"
 }
 
-step bench          1800 python bench.py
+# BENCH_MAX_ATTEMPTS=1: the campaign's own probe loop does the retrying;
+# bench.py's full 10-attempt budget would outlive the step timeout and be
+# SIGTERMed before it could print its error JSON
+step bench          1800 env BENCH_MAX_ATTEMPTS=1 python bench.py
 step int8_ffn_up    1500 python scripts/perf_lab.py int8 8192 768 3072
 step int8_ffn_down  1500 python scripts/perf_lab.py int8 8192 3072 768
 step ensemble       2400 env BENCH_BATCH=8192 python scripts/bench_all.py --ensemble
