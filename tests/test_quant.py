@@ -141,8 +141,9 @@ MID = {
 }
 
 
+@pytest.mark.parametrize("mode", ["full", "ffn"])
 @pytest.mark.parametrize("name", ["imagebert_a", "imagebert_b"])
-def test_int8_rank_fidelity(name, monkeypatch):
+def test_int8_rank_fidelity(name, mode, monkeypatch):
     """The product of this pipeline is a RANKING, so int8 serving must
     guarantee rank fidelity, not just a score band (round-3 verdict item 7):
     per-query Kendall tau, top-5 set overlap, and nDCG@5 delta vs f32 over a
@@ -179,7 +180,8 @@ def test_int8_rank_fidelity(name, monkeypatch):
         )
 
     f32 = score(params)
-    q8 = score(quantize_dense_tree(params))
+    only = ("ffn",) if mode == "ffn" else None
+    q8 = score(quantize_dense_tree(params, only_paths=only))
 
     taus, overlaps = [], []
     f32_table, q8_table, answers = {}, {}, {}
