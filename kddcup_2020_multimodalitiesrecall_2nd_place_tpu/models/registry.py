@@ -57,8 +57,21 @@ def _bert_config() -> BertConfig:
     return cfg
 
 
-def get_model(name: str) -> ModelSpec:
+def get_model(name: str, overrides: dict | None = None) -> ModelSpec:
+    """``overrides`` shrinks/reshapes one spec without touching the global
+    env hook -- e.g. ``{"num_hidden_layers": 4}`` builds the 4-layer
+    distilled student of a family while the 12-layer teacher coexists in
+    the same process (train/distill.py). For LXMERT, ``l_layers`` /
+    ``x_layers`` / ``r_layers`` target the stack depths; all other keys
+    are BertConfig fields."""
     cfg = _bert_config()
+    lxmert_overrides = {}
+    if overrides:
+        overrides = dict(overrides)
+        for k in ("l_layers", "x_layers", "r_layers"):
+            if k in overrides:
+                lxmert_overrides[k] = overrides.pop(k)
+        cfg = cfg.replace(**overrides)
     if name == "imagebert_a":
         return ModelSpec(
             name,
@@ -77,7 +90,7 @@ def get_model(name: str) -> ModelSpec:
             sen2forest=(name == "imagebert_c"),
         )
     if name == "lxmert":
-        lcfg = LxmertConfig(bert=cfg)
+        lcfg = LxmertConfig(bert=cfg, **lxmert_overrides)
         return ModelSpec(
             name,
             lcfg,

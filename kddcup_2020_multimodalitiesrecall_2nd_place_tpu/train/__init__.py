@@ -1,3 +1,11 @@
+from .distill import (
+    LiveTeacher,
+    TeacherScores,
+    distill_soft_ce,
+    evenly_spaced_layers,
+    init_student_from_teacher,
+    match_logodds,
+)
 from .ema import EmaState, ema_init, ema_update, swap_in
 from .losses import ms_loss, word_match_loss
 from .optim import (
@@ -12,6 +20,12 @@ from .trainer import TrainConfig, Trainer, TrainState, make_loss_fn, recipe_for
 
 __all__ = [
     "EmaState",
+    "LiveTeacher",
+    "TeacherScores",
+    "distill_soft_ce",
+    "evenly_spaced_layers",
+    "init_student_from_teacher",
+    "match_logodds",
     "TrainConfig",
     "TrainState",
     "Trainer",

@@ -69,6 +69,15 @@ class TrainConfig:
     # run_pretraining_predict_score.py:234-258); off by default like the
     # reference's flag
     grad_summaries: bool = False
+    # teacher -> student distillation (train/distill.py, no reference
+    # counterpart): when distill_weight > 0 and the batch carries
+    # teacher_prob, total = hard_loss_weight * family_loss
+    #                       + distill_weight * T^2-softened soft CE.
+    # hard_loss_weight = 0 skips the family loss entirely (pure-soft
+    # distillation on unlabeled pairs).
+    distill_weight: float = 0.0
+    distill_temperature: float = 1.0
+    hard_loss_weight: float = 1.0
 
 
 def recipe_for(model_name: str) -> TrainConfig:
@@ -113,6 +122,8 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 
 def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Callable:
     name = model.name
+    if tc.distill_weight and name == "two_tower":
+        raise ValueError("distillation targets the cross-encoder scorers")
 
     def mlm_term(params, out, batch, seq_key: str):
         """Tied-embedding MLM CE over masked text positions
@@ -128,11 +139,15 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
         )
         return heads.mlm_loss(logits, batch["masked_lm_ids"], batch["masked_lm_weights"])
 
+    # pure-soft distillation (hard_loss_weight=0) never touches the family
+    # loss -- a static decision, so XLA never builds the dead hard-loss graph
+    compute_hard = not (tc.distill_weight and tc.hard_loss_weight == 0.0)
+
     def loss_fn(params, batch, rng):
         model_batch = {
             k: v
             for k, v in batch.items()
-            if not k.startswith(("masked_lm", "word_match"))
+            if not k.startswith(("masked_lm", "word_match", "teacher_"))
         }
         apply_kwargs = {}
         if name == "lxmert" and tc.am_loss:
@@ -141,7 +156,23 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
             params, model_batch, model.config, precision, rng=rng, **apply_kwargs
         )
         metrics = {}
-        if name == "imagebert_a":
+        if name == "two_tower":
+            from ..models.two_tower import contrastive_loss
+
+            loss, tower_metrics = contrastive_loss(
+                out["q_emb"],
+                out["p_emb"],
+                model.config.temperature,
+                group_ids=batch.get("query_group"),
+            )
+            metrics.update(tower_metrics)
+            metrics["loss"] = loss
+            # in-batch positives carry no 0/1 labels; report retrieval
+            # accuracy instead of the pairwise-classifier accuracy below
+            return loss, metrics
+        if not compute_hard:
+            loss = jnp.float32(0.0)
+        elif name == "imagebert_a":
             loss = heads.nsp_loss(
                 params["cls"]["seq_relationship"], out["pooled"], batch["labels"]
             )
@@ -165,20 +196,6 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
                 )
                 metrics["word_match_loss"] = wm
                 loss = loss + tc.word_match_loss_weight * wm
-        elif name == "two_tower":
-            from ..models.two_tower import contrastive_loss
-
-            loss, tower_metrics = contrastive_loss(
-                out["q_emb"],
-                out["p_emb"],
-                model.config.temperature,
-                group_ids=batch.get("query_group"),
-            )
-            metrics.update(tower_metrics)
-            metrics["loss"] = loss
-            # in-batch positives carry no 0/1 labels; report retrieval
-            # accuracy instead of the pairwise-classifier accuracy below
-            return loss, metrics
         elif name == "lxmert":
             if tc.am_loss:
                 # out["logit"] are cosines from the logit_W head
@@ -197,6 +214,18 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
                 loss = loss + tc.mlm_loss_weight * mlm
         else:
             raise ValueError(name)
+        if tc.distill_weight and "teacher_prob" in batch:
+            from .distill import distill_soft_ce, match_logodds
+
+            s = match_logodds(name, params, out, model_batch)
+            d = distill_soft_ce(
+                s,
+                batch["teacher_prob"],
+                tc.distill_temperature,
+                batch.get("teacher_weight"),
+            )
+            metrics["distill_loss"] = d
+            loss = tc.hard_loss_weight * loss + tc.distill_weight * d
         preds = jnp.argmax(out["probs"], axis=-1)
         metrics["accuracy"] = jnp.mean((preds == batch["labels"]).astype(jnp.float32))
         metrics["loss"] = loss

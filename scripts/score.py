@@ -38,6 +38,14 @@ def load_params(model_name: str, path: str | None, spec):
         print("WARNING: no checkpoint given; using random init", file=sys.stderr)
         return spec.init_params(jax.random.key(0))
     p = Path(path)
+    if p.is_dir():
+        # native orbax param tree (scripts/train.py step_N / best,
+        # scripts/distill.py student_final)
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
+            restore_pytree,
+        )
+
+        return restore_pytree(p)
     if p.suffix == ".npz":
         flat_or_tree = load_npz(p)
         # npz may hold either a ready param tree or a flat TF var dict
@@ -63,6 +71,11 @@ def main() -> None:
     ap.add_argument("--tsv", required=True, nargs="+")
     ap.add_argument("--labels", required=True, help="multimodal_labels.txt")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--config-overrides", default=None,
+                    help='JSON model-config overrides, e.g. a distilled '
+                         'student\'s shape \'{"num_hidden_layers": 4}\' '
+                         '(auto-read from student_config.json next to '
+                         '--checkpoint when present)')
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
@@ -169,7 +182,22 @@ def main() -> None:
             # (bit-identical by construction) -- skip params, compile, device
             result = delta_base
         else:
-            spec = get_model(args.model)
+            overrides = json.loads(args.config_overrides) if args.config_overrides else None
+            if overrides is None and args.checkpoint:
+                # a distilled student saves its shape next to the weights
+                # (scripts/distill.py); pick it up so --checkpoint runs/<x>/
+                # student_final "just works"
+                for probe in (
+                    Path(args.checkpoint) / "student_config.json",
+                    Path(args.checkpoint).parent / "student_config.json",
+                ):
+                    if probe.is_file():
+                        meta = json.loads(probe.read_text())
+                        overrides = meta.get("overrides")
+                        print(f"[student] config overrides from {probe}: "
+                              f"{overrides}", file=sys.stderr)
+                        break
+            spec = get_model(args.model, overrides=overrides)
             tok = (
                 FullTokenizer.hf_style(VOCAB_PATH)
                 if args.model == "lxmert"
