@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--backend", choices=["xla", "pallas_packed"], default="xla",
                     help="xla = portable StableHLO; pallas_packed pins the "
                     "artifact to the exporting compiler version")
+    ap.add_argument("--config-overrides", default=None,
+                    help='JSON model-config overrides (a distilled student\'s '
+                         'shape; auto-read from student_config.json next to '
+                         '--checkpoint when present)')
     ap.add_argument("--quantize", choices=["int8", "int8-ffn"], default=None,
                     help="bake int8 per-channel weights (4x smaller "
                     "artifact; dynamic activation quant at run time; the "
@@ -107,7 +111,18 @@ def main() -> None:
             args.out, exported, f"two_tower_{args.side}", bsz, "xla"
         )
     else:
-        spec = get_model(args.model)
+        overrides = json.loads(args.config_overrides) if args.config_overrides else None
+        if overrides is None and args.checkpoint:
+            for probe in (
+                Path(args.checkpoint) / "student_config.json",
+                Path(args.checkpoint).parent / "student_config.json",
+            ):
+                if probe.is_file():
+                    overrides = json.loads(probe.read_text()).get("overrides")
+                    print(f"[student] config overrides from {probe}: "
+                          f"{overrides}", file=sys.stderr)
+                    break
+        spec = get_model(args.model, overrides=overrides)
         params = load_params(args.model, args.checkpoint, spec)
         if args.quantize in ("int8", "int8-ffn"):
             from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.quant import (
@@ -132,9 +147,14 @@ def main() -> None:
             spec, params, bsz, precision=prec,
             platforms=platforms, backend=args.backend,
         )
+        extra = {}
+        if args.quantize:
+            extra["quantize"] = args.quantize
+        if overrides:
+            extra["config_overrides"] = overrides
         meta = save_scorer(
             args.out, exported, spec, bsz, args.backend,
-            extra={"quantize": args.quantize} if args.quantize else None,
+            extra=extra or None,
         )
     print(json.dumps({**meta, "out": args.out}))
 

@@ -307,6 +307,58 @@ def test_offline_distillation_learns_teacher_ranking():
 # ---------------------------------------------------------------------------
 
 
+def test_export_student_artifact(tmp_path):
+    """A distilled student exports like any scorer: export.py picks the
+    shape up from student_config.json and the artifact reproduces the live
+    student's scores."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
+        save_pytree,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.batchspec import (
+        example_batch,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.serving import load_scorer
+
+    student = get_model("imagebert_b", overrides={**TINY, "num_hidden_layers": 1})
+    params = jax.device_get(student.init_params(jax.random.key(4)))
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    save_pytree(run_dir / "student_final", params)
+    (run_dir / "student_config.json").write_text(
+        json.dumps({"model": "imagebert_b", "overrides": {"num_hidden_layers": 1}})
+    )
+
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "JAX_PLATFORM_NAME": "cpu",
+        "KMR_CONFIG_OVERRIDES": json.dumps(TINY),
+    }
+    out = tmp_path / "artifact"
+    r = subprocess.run(
+        [
+            sys.executable, "scripts/export.py",
+            "--model", "imagebert_b",
+            "--checkpoint", str(run_dir / "student_final"),
+            "--batch-size", "4", "--precision", "f32",
+            "--out", str(out),
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "student_config.json" in r.stderr
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["config_overrides"] == {"num_hidden_layers": 1}
+
+    scorer = load_scorer(out)
+    batch = example_batch("imagebert_b", student.config, 4, np.random.default_rng(5))
+    got = scorer(batch)
+    want = np.asarray(
+        student.apply(params, batch, student.config, Precision.f32())["score"]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_distill_cli_and_score_roundtrip(tmp_path):
     env = {
         **os.environ,
