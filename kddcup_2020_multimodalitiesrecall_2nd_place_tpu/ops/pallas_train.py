@@ -380,15 +380,24 @@ def _ffn_train_bwd(spec: FfnTrainSpec, res, dy):
 _ffn_train.defvjp(_ffn_train_fwd, _ffn_train_bwd)
 
 
-def _env_block(default: int) -> int:
+def _env_block(default: int, kind: str | None = None) -> int:
     """Resolve a train kernel's batch-block size: an explicit ``block_b``
-    wins, else ``KMR_TRAIN_BLOCK`` (model-scale sweeps via ``perf_lab.py
-    train``), else the per-op default. Dropout masks are drawn per grid
-    block, so different block sizes give different (equally valid) masks;
-    fwd/bwd stay aligned because both resolve from the same inputs."""
+    wins, else the per-op-kind env (``KMR_TRAIN_BLOCK_FFN`` /
+    ``KMR_TRAIN_BLOCK_ATTN``), else ``KMR_TRAIN_BLOCK`` (model-scale sweeps
+    via ``perf_lab.py train``), else the per-op default. Per-kind knobs
+    exist because the optimum differs: FFN blocks carry [block*S, 3072]
+    activations (VMEM-bound, small blocks), attention blocks carry
+    [block*S_q, S_k] score tiles (MXU-fill-bound, big blocks win on short
+    streams). Dropout masks are drawn per grid block, so different block
+    sizes give different (equally valid) masks; fwd/bwd stay aligned
+    because both resolve from the same inputs."""
     import os
 
-    v = os.environ.get("KMR_TRAIN_BLOCK")
+    v = None
+    if kind is not None:
+        v = os.environ.get(f"KMR_TRAIN_BLOCK_{kind.upper()}")
+    if not v:
+        v = os.environ.get("KMR_TRAIN_BLOCK")
     if not v:
         return default
     iv = int(v)
@@ -414,7 +423,7 @@ def ffn_block_train(
 ) -> jax.Array:
     """Differentiable fused FFN block with in-kernel dropout."""
     if block_b is None:
-        block_b = _env_block(4)
+        block_b = _env_block(4, kind="ffn")
     spec = FfnTrainSpec(
         dropout_rate=float(dropout_rate), approximate_gelu=approximate_gelu,
         eps=eps, block_b=block_b, interpret=interpret,
@@ -966,7 +975,7 @@ def attention_block_train(
     all-packed variant predated dropping the outer scan remat (which ran
     every forward kernel twice) and did not reproduce (docs/BENCH.md)."""
     if block_b is None:
-        block_b = _env_block(8)
+        block_b = _env_block(8, kind="attn")
     if headpack is None:
         import os
 
@@ -1381,7 +1390,7 @@ def cross_attention_block_train(
     ``attention_block_train``; dctx and all weight gradients ride XLA
     matmuls over B*F / B*T rows."""
     if block_b is None:
-        block_b = _env_block(8)
+        block_b = _env_block(8, kind="attn")
     spec = CrossTrainSpec(
         num_heads=num_heads,
         attn_dropout_rate=float(attn_dropout_rate),

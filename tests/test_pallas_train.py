@@ -504,3 +504,29 @@ def test_remat_tracks_actual_block_fusion():
             ).sum()
         )(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_env_block_per_kind_precedence(monkeypatch):
+    """_env_block: explicit block_b > KMR_TRAIN_BLOCK_<KIND> >
+    KMR_TRAIN_BLOCK > per-op default (the per-kind knobs isolate which
+    kernel family a sweep win comes from)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_train import (
+        _env_block,
+    )
+
+    monkeypatch.delenv("KMR_TRAIN_BLOCK", raising=False)
+    monkeypatch.delenv("KMR_TRAIN_BLOCK_FFN", raising=False)
+    monkeypatch.delenv("KMR_TRAIN_BLOCK_ATTN", raising=False)
+    assert _env_block(4, kind="ffn") == 4
+    monkeypatch.setenv("KMR_TRAIN_BLOCK", "8")
+    assert _env_block(4, kind="ffn") == 8
+    assert _env_block(8, kind="attn") == 8
+    monkeypatch.setenv("KMR_TRAIN_BLOCK_ATTN", "16")
+    assert _env_block(8, kind="attn") == 16
+    assert _env_block(4, kind="ffn") == 8  # generic still wins for ffn
+    monkeypatch.setenv("KMR_TRAIN_BLOCK_FFN", "2")
+    assert _env_block(4, kind="ffn") == 2
+    assert _env_block(4) == 8  # kind-less callers see only the generic knob
+    with pytest.raises(ValueError):
+        monkeypatch.setenv("KMR_TRAIN_BLOCK_FFN", "0")
+        _env_block(4, kind="ffn")
