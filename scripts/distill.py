@@ -88,7 +88,16 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--valid-tsv", nargs="+", default=None,
+                    help="valid.tsv shards: nDCG@5 loop + best-checkpoint "
+                         "selection for the student (same flow as train.py)")
+    ap.add_argument("--answers", default=None,
+                    help="valid_answer.json for the valid loop")
+    ap.add_argument("--valid-every", type=int, default=0,
+                    help="steps between valid evals (0 = only at the end)")
     args = ap.parse_args()
+    if bool(args.valid_tsv) != bool(args.answers):
+        ap.error("--valid-tsv and --answers must be given together")
 
     if bool(args.teacher_scores) == bool(args.teacher_checkpoint):
         ap.error("exactly one of --teacher-scores / --teacher-checkpoint")
@@ -204,6 +213,39 @@ def main() -> None:
     )
     metrics_file = open(out_dir / "metrics.jsonl", "a")
 
+    # --- student valid loop (same flow as scripts/train.py) -----------------
+    engine = None
+    best_ndcg = -1.0
+
+    def run_valid(step: int) -> None:
+        nonlocal engine, best_ndcg
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.eval.ndcg import (
+            evaluate_scores,
+            load_answers,
+        )
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import (
+            ScoringEngine,
+        )
+
+        params = jax.device_get(trainer.eval_params(state))
+        if engine is None:
+            engine = ScoringEngine(
+                student, params, mesh=trainer.mesh, precision=trainer.precision,
+                donate_batch=False,
+            )
+        else:
+            engine.update_params(params)
+        result = engine.score_files(args.valid_tsv, featurizer, args.batch_size)
+        ndcg = evaluate_scores(result, load_answers(args.answers))
+        log_metrics(step, {"valid_ndcg5": ndcg}, metrics_file)
+        log_metrics(step, {"valid_ndcg5": ndcg})
+        if ndcg > best_ndcg:
+            best_ndcg = ndcg
+            save_pytree(out_dir / "best", params)
+            (out_dir / "best_metadata.json").write_text(
+                json.dumps({"step": step, "valid_ndcg5": ndcg})
+            )
+
     rngs = jax.random.split(jax.random.key(args.seed + 1), args.steps)
     for step, batch in enumerate(itertools.islice(batches(), args.steps)):
         state, metrics = trainer.train_step(state, batch, rngs[step])
@@ -213,6 +255,13 @@ def main() -> None:
         if (step + 1) % args.checkpoint_every == 0 or step + 1 == args.steps:
             save_pytree(out_dir / f"step_{step + 1}", trainer.eval_params(state))
             save_pytree(out_dir / f"state_{step + 1}", state)
+        if args.valid_tsv and (
+            (args.valid_every and (step + 1) % args.valid_every == 0)
+            or step + 1 == args.steps
+        ):
+            run_valid(step + 1)
+    if args.valid_tsv:
+        print(f"best valid nDCG@5 {best_ndcg:.4f} (checkpoint in {out_dir / 'best'})")
 
     # one agreement pass: student vs teacher ranking on the distill pairs
     eval_params = jax.device_put(trainer.eval_params(state), trainer._replicated)

@@ -388,6 +388,15 @@ def test_distill_cli_and_score_roundtrip(tmp_path):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
 
+    answers = {}
+    for line in (tmp_path / "pairs.tsv").read_text().splitlines():
+        cols = line.split("\t")
+        if cols[0] == "product_id":
+            continue
+        answers.setdefault(cols[-1], []).append(int(cols[0]))
+    answers_path = tmp_path / "valid_answer.json"
+    answers_path.write_text(json.dumps(answers))
+
     out_dir = tmp_path / "student"
     r = run([
         "scripts/distill.py", "--model", "imagebert_b",
@@ -396,10 +405,14 @@ def test_distill_cli_and_score_roundtrip(tmp_path):
         "--teacher-scores", str(t_scores),
         "--steps", "4", "--batch-size", "8",
         "--checkpoint-every", "4", "--out", str(out_dir),
+        "--valid-tsv", str(tsv), "--answers", str(answers_path),
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert (out_dir / "student_config.json").is_file()
     assert "Kendall tau" in r.stdout
+    # the valid loop selected a best student checkpoint
+    assert "best valid nDCG@5" in r.stdout
+    assert (out_dir / "best_metadata.json").is_file()
 
     # score.py reloads the student, picking its shape up automatically
     s_scores = tmp_path / "student_scores.txt"
