@@ -394,15 +394,19 @@ def _env_block(default: int, kind: str | None = None) -> int:
     import os
 
     v = None
+    src = "KMR_TRAIN_BLOCK"
     if kind is not None:
-        v = os.environ.get(f"KMR_TRAIN_BLOCK_{kind.upper()}")
+        per_kind = f"KMR_TRAIN_BLOCK_{kind.upper()}"
+        v = os.environ.get(per_kind)
+        if v:
+            src = per_kind
     if not v:
         v = os.environ.get("KMR_TRAIN_BLOCK")
     if not v:
         return default
     iv = int(v)
     if iv <= 0:
-        raise ValueError(f"KMR_TRAIN_BLOCK must be a positive int, got {v!r}")
+        raise ValueError(f"{src} must be a positive int, got {v!r}")
     return iv
 
 

@@ -200,8 +200,9 @@ class TeacherScores:
 
     def attach(self, batch: dict) -> dict:
         """Add ``teacher_prob``/``teacher_weight`` arrays to a stacked batch
-        (weight 0 for padded tail rows and, with allow_missing, unscored
-        pairs)."""
+        (weight 0 for padded tail rows; an unscored valid pair is an error
+        -- offline distillation requires the score files to cover the
+        training TSV)."""
         qids = batch["query_id"]
         pids = batch["product_id"]
         valid = batch.get("valid", np.ones(len(qids), dtype=bool))

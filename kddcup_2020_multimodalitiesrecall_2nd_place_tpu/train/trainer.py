@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import ModelSpec, Precision, heads
 from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
+from .distill import AUX_PREFIXES, HOST_ONLY_KEYS
 from .ema import EmaState, ema_init, ema_update
 from .losses import ms_loss
 from .optim import (
@@ -145,9 +146,7 @@ def make_loss_fn(model: ModelSpec, tc: TrainConfig, precision: Precision) -> Cal
 
     def loss_fn(params, batch, rng):
         model_batch = {
-            k: v
-            for k, v in batch.items()
-            if not k.startswith(("masked_lm", "word_match", "teacher_"))
+            k: v for k, v in batch.items() if not k.startswith(AUX_PREFIXES)
         }
         apply_kwargs = {}
         if name == "lxmert" and tc.am_loss:
@@ -319,11 +318,7 @@ class Trainer:
         (parallel/distributed.py), single-host is a plain device_put."""
         from ..parallel.distributed import global_batch_from_local
 
-        host_batch = {
-            k: v
-            for k, v in batch.items()
-            if k not in ("product_id", "query_id", "valid")
-        }
+        host_batch = {k: v for k, v in batch.items() if k not in HOST_ONLY_KEYS}
         return self._step(state, global_batch_from_local(self.mesh, host_batch), rng)
 
     def eval_params(self, state: TrainState):

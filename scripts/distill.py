@@ -78,9 +78,11 @@ def main() -> None:
                          "layers (requires --teacher-checkpoint)")
     ap.add_argument("--temperature", type=float, default=2.0)
     ap.add_argument("--distill-weight", type=float, default=1.0)
-    ap.add_argument("--hard-weight", type=float, default=0.0,
-                    help="weight on the family hard-label loss; > 0 only "
-                         "makes sense when --tsv rows carry real labels")
+    # NB: no hard-label blend here -- TSV rows carry no relevance labels
+    # (the featurizers feed the serving constant), so a hard loss would
+    # optimise a constant target. Blending hard negatives with a live
+    # teacher is a library-level flow (TrainConfig.hard_loss_weight +
+    # HardNegativeSampler + LiveTeacher.attach).
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=None)
@@ -105,6 +107,12 @@ def main() -> None:
         ap.error("--init-from-teacher requires --teacher-checkpoint")
     if bool(args.student_layers) == bool(args.student_overrides):
         ap.error("exactly one of --student-layers / --student-overrides")
+    if args.model == "lxmert" and args.student_layers:
+        # LXMERT depth lives in the three stack fields, not
+        # num_hidden_layers -- a bare layer count would silently build a
+        # full-depth 9/5/5 "student"
+        ap.error('lxmert students need --student-overrides with the stack '
+                 'depths, e.g. \'{"l_layers": 3, "x_layers": 2, "r_layers": 2}\'')
 
     import dataclasses
 
@@ -170,7 +178,7 @@ def main() -> None:
         recipe_for(student.name),
         distill_weight=args.distill_weight,
         distill_temperature=args.temperature,
-        hard_loss_weight=args.hard_weight,
+        hard_loss_weight=0.0,  # pure-soft: TSV rows carry no labels
         **({"learning_rate": args.lr} if args.lr is not None else {}),
         **(
             {"num_warmup_steps": args.warmup_steps}
@@ -252,7 +260,9 @@ def main() -> None:
         if step % 20 == 0:
             log_metrics(step, metrics, metrics_file)
             log_metrics(step, metrics)
-        if (step + 1) % args.checkpoint_every == 0 or step + 1 == args.steps:
+        if (
+            args.checkpoint_every and (step + 1) % args.checkpoint_every == 0
+        ) or step + 1 == args.steps:
             save_pytree(out_dir / f"step_{step + 1}", trainer.eval_params(state))
             save_pytree(out_dir / f"state_{step + 1}", state)
         if args.valid_tsv and (

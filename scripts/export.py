@@ -25,7 +25,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from score import load_params  # noqa: E402  (same checkpoint loaders)
+from score import load_params, load_student_overrides  # noqa: E402
 
 
 def main() -> None:
@@ -111,17 +111,11 @@ def main() -> None:
             args.out, exported, f"two_tower_{args.side}", bsz, "xla"
         )
     else:
-        overrides = json.loads(args.config_overrides) if args.config_overrides else None
-        if overrides is None and args.checkpoint:
-            for probe in (
-                Path(args.checkpoint) / "student_config.json",
-                Path(args.checkpoint).parent / "student_config.json",
-            ):
-                if probe.is_file():
-                    overrides = json.loads(probe.read_text()).get("overrides")
-                    print(f"[student] config overrides from {probe}: "
-                          f"{overrides}", file=sys.stderr)
-                    break
+        overrides = (
+            json.loads(args.config_overrides)
+            if args.config_overrides
+            else load_student_overrides(args.checkpoint)
+        )
         spec = get_model(args.model, overrides=overrides)
         params = load_params(args.model, args.checkpoint, spec)
         if args.quantize in ("int8", "int8-ffn"):

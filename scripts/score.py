@@ -22,6 +22,24 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def load_student_overrides(checkpoint: str | None) -> dict | None:
+    """Model-config overrides a distilled student saved next to its weights
+    (scripts/distill.py writes student_config.json in the run dir; the
+    checkpoint itself lives in a subdirectory like best/ or student_final/)."""
+    if not checkpoint:
+        return None
+    for probe in (
+        Path(checkpoint) / "student_config.json",
+        Path(checkpoint).parent / "student_config.json",
+    ):
+        if probe.is_file():
+            overrides = json.loads(probe.read_text()).get("overrides")
+            print(f"[student] config overrides from {probe}: {overrides}",
+                  file=sys.stderr)
+            return overrides
+    return None
+
+
 def load_params(model_name: str, path: str | None, spec):
     import jax
 
@@ -182,21 +200,11 @@ def main() -> None:
             # (bit-identical by construction) -- skip params, compile, device
             result = delta_base
         else:
-            overrides = json.loads(args.config_overrides) if args.config_overrides else None
-            if overrides is None and args.checkpoint:
-                # a distilled student saves its shape next to the weights
-                # (scripts/distill.py); pick it up so --checkpoint runs/<x>/
-                # student_final "just works"
-                for probe in (
-                    Path(args.checkpoint) / "student_config.json",
-                    Path(args.checkpoint).parent / "student_config.json",
-                ):
-                    if probe.is_file():
-                        meta = json.loads(probe.read_text())
-                        overrides = meta.get("overrides")
-                        print(f"[student] config overrides from {probe}: "
-                              f"{overrides}", file=sys.stderr)
-                        break
+            overrides = (
+                json.loads(args.config_overrides)
+                if args.config_overrides
+                else load_student_overrides(args.checkpoint)
+            )
             spec = get_model(args.model, overrides=overrides)
             tok = (
                 FullTokenizer.hf_style(VOCAB_PATH)
