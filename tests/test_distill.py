@@ -302,6 +302,37 @@ def test_offline_distillation_learns_teacher_ranking():
     assert tau1 > max(tau0, 0.5), (tau0, tau1)
 
 
+def test_distill_step_runs_on_8_device_mesh():
+    """The distill loss shards like any train step: batch (with teacher
+    columns) over the data axis, grads all-reduced by XLA."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    student_spec = get_model("imagebert_b", overrides={**TINY, "num_hidden_layers": 1})
+    tc = TrainConfig(
+        learning_rate=1e-4,
+        num_warmup_steps=0,
+        optimizer="bert_adamw",
+        distill_weight=1.0,
+        hard_loss_weight=0.0,
+        distill_temperature=2.0,
+    )
+    trainer = Trainer(student_spec, tc, mesh=mesh, precision=Precision.f32())
+    state = trainer.init_state(jax.random.key(0))
+    (batch,) = _batches(16, "imagebert_b", 16)
+    rng = np.random.default_rng(0)
+    batch["teacher_prob"] = rng.uniform(0.05, 0.95, 16).astype(np.float32)
+    batch["teacher_weight"] = np.ones(16, np.float32)
+    losses = []
+    for i in range(2):
+        state, metrics = trainer.train_step(state, batch, jax.random.key(i))
+        assert np.isfinite(float(metrics["distill_loss"]))
+        losses.append(float(metrics["loss"]))
+    assert losses[1] < losses[0]
+    assert int(state.step) == 2
+
+
 # ---------------------------------------------------------------------------
 # CLI round-trip
 # ---------------------------------------------------------------------------
