@@ -167,6 +167,41 @@ class TeacherScores:
     probs: dict[tuple[str, str], float]
 
     @classmethod
+    def from_ensemble_files(
+        cls,
+        scores_b,
+        scores_c,
+        scores_a,
+        scores_lxmert,
+        weights: tuple[float, float, float, float] | None = None,
+    ) -> "TeacherScores":
+        """The full reference ensemble as the teacher: the four score files
+        fused with ``code/main.py:49-59`` semantics -- pair universe from
+        the LXMERT table, missing B/C/A pairs backfilled with the LXMERT
+        score, weights 0.2/0.2/0.3/0.3 by default."""
+        from ..ensemble.fusion import DEFAULT_WEIGHTS, fuse
+
+        def load(p):
+            return (
+                load_csv_scores(p) if str(p).endswith(".csv") else load_tsv_scores(p)
+            )
+
+        fusion = fuse(
+            load(scores_b),
+            load(scores_c),
+            load(scores_a),
+            load(scores_lxmert),
+            weights=weights or DEFAULT_WEIGHTS,
+        )
+        return cls(
+            {
+                (qid, pid): s
+                for qid, row in fusion.merge.items()
+                for pid, s in row.items()
+            }
+        )
+
+    @classmethod
     def from_files(
         cls, paths: list[str], weights: list[float] | None = None
     ) -> "TeacherScores":

@@ -70,6 +70,12 @@ def main() -> None:
                          "covering the --tsv pairs; several files fuse by "
                          "--teacher-weights (ensemble distillation)")
     ap.add_argument("--teacher-weights", nargs="+", type=float, default=None)
+    ap.add_argument("--teacher-ensemble", nargs=4, default=None,
+                    metavar=("B", "C", "A", "LXMERT"),
+                    help="offline teacher = the full reference ensemble: "
+                         "four score files in code/main.py order, fused "
+                         "with its exact semantics (LXMERT pair universe, "
+                         "backfill, 0.2/0.2/0.3/0.3 or --teacher-weights)")
     ap.add_argument("--teacher-checkpoint", default=None,
                     help="live teacher: full-depth checkpoint of the same "
                          "family, scored per batch in serving mode")
@@ -101,8 +107,13 @@ def main() -> None:
     if bool(args.valid_tsv) != bool(args.answers):
         ap.error("--valid-tsv and --answers must be given together")
 
-    if bool(args.teacher_scores) == bool(args.teacher_checkpoint):
-        ap.error("exactly one of --teacher-scores / --teacher-checkpoint")
+    n_teachers = sum(
+        bool(x)
+        for x in (args.teacher_scores, args.teacher_checkpoint, args.teacher_ensemble)
+    )
+    if n_teachers != 1:
+        ap.error("exactly one of --teacher-scores / --teacher-ensemble / "
+                 "--teacher-checkpoint")
     if args.init_from_teacher and not args.teacher_checkpoint:
         ap.error("--init-from-teacher requires --teacher-checkpoint")
     if bool(args.student_layers) == bool(args.student_overrides):
@@ -162,7 +173,13 @@ def main() -> None:
     )
 
     teacher_params = None
-    if args.teacher_scores:
+    if args.teacher_ensemble:
+        weights = tuple(args.teacher_weights) if args.teacher_weights else None
+        table = TeacherScores.from_ensemble_files(*args.teacher_ensemble,
+                                                  weights=weights)
+        print(f"ensemble teacher: {len(table)} fused pairs")
+        attach = table.attach
+    elif args.teacher_scores:
         table = TeacherScores.from_files(args.teacher_scores, args.teacher_weights)
         print(f"offline teacher: {len(table)} scored pairs "
               f"from {len(args.teacher_scores)} file(s)")

@@ -235,6 +235,39 @@ def test_teacher_scores_attach_and_missing(tmp_path):
         ts_short.attach(batch)
 
 
+def test_ensemble_teacher_matches_reference_fusion(reference_dir):
+    """The ensemble teacher built from the reference's REAL committed score
+    files equals code/main.py's merge (backfill + LXMERT pair universe)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ensemble.fusion import (
+        fuse,
+        load_csv_scores,
+        load_tsv_scores,
+    )
+
+    pr = reference_dir / "prediction_result"
+    paths = [
+        pr / "testB_result_match_keyword_valid_finetune_251.txt",
+        pr / "testB_result_match_keyword_valid_finetune_251_sen_to_forest.txt",
+        pr / "testBscore_imagebert.txt",
+        pr / "testB_score_lxmert.csv",
+    ]
+    for p in paths:
+        if not p.exists():
+            pytest.skip(f"golden file missing: {p}")
+    ts = TeacherScores.from_ensemble_files(*paths)
+    fusion = fuse(
+        load_tsv_scores(paths[0]),
+        load_tsv_scores(paths[1]),
+        load_tsv_scores(paths[2]),
+        load_csv_scores(paths[3]),
+    )
+    n_pairs = sum(len(r) for r in fusion.merge.values())
+    assert len(ts) == n_pairs == 29005  # testB size incl. backfilled pairs
+    for qid, row in list(fusion.merge.items())[:50]:
+        for pid, s in row.items():
+            assert ts.probs[(qid, pid)] == s
+
+
 def test_live_teacher_forces_serving_label():
     spec = get_model("imagebert_b", overrides=TINY)
     params = spec.init_params(jax.random.key(0))
