@@ -6,10 +6,12 @@ fuses them (``code/main.py``); this trains ONE L-layer student of a family
 whose serving throughput scales ~12/L on TPU (docs/BENCH.md ladder).
 
   # offline: student of the full 4-model ensemble on already-scored pairs
+  # (--teacher-ensemble fuses with code/main.py's exact semantics incl.
+  # the LXMERT backfill; --teacher-scores is the strict-coverage
+  # weighted-average alternative for arbitrary file sets)
   python scripts/distill.py --model imagebert_b --student-layers 4 \
       --tsv valid.tsv --labels multimodal_labels.txt \
-      --teacher-scores B.txt C.txt A.txt L.csv \
-      --teacher-weights 0.2 0.2 0.3 0.3 \
+      --teacher-ensemble B.txt C.txt A.txt L.csv \
       --steps 2000 --batch-size 256 --out runs/student
 
   # live: single-teacher distillation with layer-init from the teacher
