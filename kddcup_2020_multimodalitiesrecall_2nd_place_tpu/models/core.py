@@ -55,6 +55,13 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     initializer_range: float = 0.02
+    # per-model defaults for the fused train kernels' batch-block sizes
+    # (ops/pallas_train.py). None = the kernels' per-op defaults; the
+    # KMR_TRAIN_BLOCK[_FFN|_ATTN] sweep knobs override either way. The
+    # optimum is model-shaped: lxmert's short 10/23-token streams want
+    # bigger blocks than imagebert_a's 40-token FFN can fit in VMEM.
+    train_block_ffn: int | None = None
+    train_block_attn: int | None = None
 
     @classmethod
     def from_json_file(cls, path) -> "BertConfig":
@@ -193,6 +200,7 @@ def attention_block(
     ):
         from ..ops.pallas_train import (
             attention_block_train,
+            resolve_train_block,
             seed_from_key,
             train_fused_mode,
         )
@@ -222,6 +230,7 @@ def attention_block(
                 bias=None if bias is None else bias.reshape(b, s),
                 attn_dropout_rate=cfg.attention_probs_dropout_prob,
                 hidden_dropout_rate=cfg.hidden_dropout_prob,
+                block_b=resolve_train_block("attn", cfg),
                 interpret=(mode == "interpret"),
             )
     if (
@@ -236,6 +245,7 @@ def attention_block(
     ):
         from ..ops.pallas_train import (
             cross_attention_block_train,
+            resolve_train_block,
             seed_from_key,
             train_fused_mode,
         )
@@ -265,6 +275,7 @@ def attention_block(
                 bias=None if bias is None else bias.reshape(b, t),
                 attn_dropout_rate=cfg.attention_probs_dropout_prob,
                 hidden_dropout_rate=cfg.hidden_dropout_prob,
+                block_b=resolve_train_block("attn", cfg),
                 interpret=(mode == "interpret"),
             )
     if (
@@ -443,6 +454,7 @@ def ffn_block(
     ):
         from ..ops.pallas_train import (
             ffn_block_train,
+            resolve_train_block,
             seed_from_key,
             train_fused_mode,
         )
@@ -460,6 +472,7 @@ def ffn_block(
                 seed_from_key(hid_rng),
                 dropout_rate=cfg.hidden_dropout_prob,
                 approximate_gelu=(act_name == "gelu"),
+                block_b=resolve_train_block("ffn", cfg),
                 interpret=(mode == "interpret"),
             )
     if (

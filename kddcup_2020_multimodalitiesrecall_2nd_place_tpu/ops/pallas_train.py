@@ -410,6 +410,25 @@ def _env_block(default: int, kind: str | None = None) -> int:
     return iv
 
 
+def resolve_train_block(kind: str, cfg) -> int | None:
+    """Model-call-site block resolution: the sweep envs win
+    (``KMR_TRAIN_BLOCK_{KIND}`` then ``KMR_TRAIN_BLOCK`` -- a sweep must
+    override per-model defaults or ``perf_lab.py train`` measures nothing),
+    else the model config's ``train_block_{kind}`` field, else None so the
+    kernel falls through to its per-op default in ``_env_block``."""
+    import os
+
+    per_kind = f"KMR_TRAIN_BLOCK_{kind.upper()}"
+    for src in (per_kind, "KMR_TRAIN_BLOCK"):
+        v = os.environ.get(src)
+        if v:
+            iv = int(v)
+            if iv <= 0:
+                raise ValueError(f"{src} must be a positive int, got {v!r}")
+            return iv
+    return getattr(cfg, f"train_block_{kind}", None)
+
+
 def ffn_block_train(
     x: jax.Array,  # [B, S, H]
     w1: jax.Array,  # [H, I] float32

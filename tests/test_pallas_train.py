@@ -530,3 +530,98 @@ def test_env_block_per_kind_precedence(monkeypatch):
     with pytest.raises(ValueError):
         monkeypatch.setenv("KMR_TRAIN_BLOCK_FFN", "0")
         _env_block(4, kind="ffn")
+
+
+def test_resolve_train_block_config_defaults(monkeypatch):
+    """resolve_train_block: sweep envs > config field > None (kernel
+    default). Per-model defaults (BertConfig.train_block_ffn/_attn) must
+    lose to the env knobs or `perf_lab.py train` sweeps would silently
+    measure the config value."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
+        BertConfig,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_train import (
+        resolve_train_block,
+    )
+
+    monkeypatch.delenv("KMR_TRAIN_BLOCK", raising=False)
+    monkeypatch.delenv("KMR_TRAIN_BLOCK_FFN", raising=False)
+    monkeypatch.delenv("KMR_TRAIN_BLOCK_ATTN", raising=False)
+
+    plain = BertConfig()
+    assert resolve_train_block("ffn", plain) is None
+    assert resolve_train_block("attn", plain) is None
+
+    cfg = BertConfig(train_block_ffn=16, train_block_attn=16)
+    assert resolve_train_block("ffn", cfg) == 16
+    assert resolve_train_block("attn", cfg) == 16
+
+    monkeypatch.setenv("KMR_TRAIN_BLOCK", "8")
+    assert resolve_train_block("ffn", cfg) == 8
+    monkeypatch.setenv("KMR_TRAIN_BLOCK_FFN", "4")
+    assert resolve_train_block("ffn", cfg) == 4
+    assert resolve_train_block("attn", cfg) == 8
+    with pytest.raises(ValueError):
+        monkeypatch.setenv("KMR_TRAIN_BLOCK_ATTN", "-1")
+        resolve_train_block("attn", cfg)
+    # objects without the fields (e.g. LxmertConfig wrappers) degrade to None
+    monkeypatch.delenv("KMR_TRAIN_BLOCK", raising=False)
+    monkeypatch.delenv("KMR_TRAIN_BLOCK_ATTN", raising=False)
+    monkeypatch.delenv("KMR_TRAIN_BLOCK_FFN", raising=False)
+    assert resolve_train_block("ffn", object()) is None
+
+
+def test_config_train_block_reaches_kernels(monkeypatch):
+    """A config-set train block actually changes the fused kernels' grid
+    (observed via the dropout masks: draws are per grid block, so with a
+    nonzero rate different blockings give different masks) while leaving
+    dropout-free values identical."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models.core import (
+        BertConfig,
+        Precision,
+        encoder,
+        encoder_init,
+    )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.ops.pallas_train import (
+        train_fused,
+    )
+
+    monkeypatch.delenv("KMR_TRAIN_BLOCK", raising=False)
+    monkeypatch.delenv("KMR_TRAIN_BLOCK_FFN", raising=False)
+    monkeypatch.delenv("KMR_TRAIN_BLOCK_ATTN", raising=False)
+
+    kw = dict(
+        vocab_size=97, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=32,
+        max_position_embeddings=32,
+    )
+    drop = dict(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    cfg_default = BertConfig(**kw, **drop)
+    cfg_blocked = cfg_default.replace(train_block_ffn=1, train_block_attn=1)
+    p = encoder_init(jax.random.key(0), cfg_default)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 8, 16)), jnp.float32
+    )
+    with train_fused("interpret"):
+        out_default = encoder(
+            p, x, None, cfg_default, Precision.f32(), rng=jax.random.key(1)
+        )
+        out_blocked = encoder(
+            p, x, None, cfg_blocked, Precision.f32(), rng=jax.random.key(1)
+        )
+        # no dropout: block size is pure tiling, values must agree
+        np.testing.assert_allclose(
+            np.asarray(out_default), np.asarray(out_blocked), atol=1e-5
+        )
+        # with dropout the per-block draw order makes the masks differ,
+        # proving the config block reached the kernels
+        cfg_d = BertConfig(**kw, hidden_dropout_prob=0.5,
+                           attention_probs_dropout_prob=0.0)
+        cfg_d_blocked = cfg_d.replace(train_block_ffn=1, train_block_attn=1)
+        out_d = encoder(
+            p, x, None, cfg_d, Precision.f32(), rng=jax.random.key(1)
+        )
+        out_d_blocked = encoder(
+            p, x, None, cfg_d_blocked, Precision.f32(), rng=jax.random.key(1)
+        )
+    assert not np.allclose(np.asarray(out_d), np.asarray(out_d_blocked))
