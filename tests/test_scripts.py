@@ -398,3 +398,45 @@ def test_c_delta_rejects_mismatched_base(data_dir, tmp_path):
     )
     assert r.returncode == 4
     assert "absent from" in r.stderr
+
+
+def test_score_fidelity_cli(tmp_path):
+    """scripts/score_fidelity.py: hand-built tables with known rank metrics.
+
+    q1 identical, q2 has its top-2 swapped (1 discordant pair of 15), q3 is
+    missing from the candidate entirely.  Candidate is a .csv to exercise
+    the LXMERT-format loader against the reference-format .txt."""
+    ref = tmp_path / "teacher.txt"
+    cand = tmp_path / "student.csv"
+    pids = [f"p{i}" for i in range(6)]
+    ref_rows, cand_rows = [], ["query-id,product-id,score"]
+    for qid in ("q1", "q2", "q3"):
+        for i, pid in enumerate(pids):
+            ref_rows.append(f"{qid}\t{pid}\t{0.9 - 0.1 * i}")
+    for qid in ("q1", "q2"):
+        for i, pid in enumerate(pids):
+            s = 0.9 - 0.1 * i
+            if qid == "q2" and i in (0, 1):  # swap top-2 scores
+                s = 0.9 - 0.1 * (1 - i)
+            cand_rows.append(f"{qid},{pid},{s}")
+    ref.write_text("\n".join(ref_rows) + "\n")
+    cand.write_text("\n".join(cand_rows) + "\n")
+
+    r = _run(
+        [
+            "scripts/score_fidelity.py",
+            "--reference", str(ref),
+            "--candidate", str(cand),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_queries"] == 2
+    assert out["n_pairs"] == 12
+    assert out["missing_queries"] == 1
+    assert out["missing_pairs"] == 0
+    assert out["kendall_tau_min"] == pytest.approx(13 / 15, abs=1e-4)
+    assert out["kendall_tau_mean"] == pytest.approx((1 + 13 / 15) / 2, abs=1e-4)
+    # the swap stays inside the top-5 set, so overlap and nDCG are unhurt
+    assert out["topk_overlap_min"] == 1.0
+    assert out["ndcg_delta"] == 0.0
