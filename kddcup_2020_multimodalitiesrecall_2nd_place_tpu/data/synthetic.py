@@ -8,6 +8,7 @@ the throughput benchmark fabricate rows with the exact on-disk format
 from __future__ import annotations
 
 import base64
+import zlib
 
 import numpy as np
 
@@ -38,6 +39,16 @@ SYNTHETIC_QUERIES = [
 ]
 
 
+def query_direction(query: str) -> np.ndarray:
+    """Deterministic unit-norm feature direction keyed by the query TEXT
+    (the planted signal of ``make_row(planted=...)``). Keyed by text, not
+    query id, because the text is all a scorer sees — rows sharing a query
+    string must carry the same direction for the signal to be learnable."""
+    key = zlib.crc32(query.encode("utf-8"))
+    v = np.random.default_rng(key).standard_normal(2048)
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
 def make_row(
     rng: np.random.Generator,
     product_id: int,
@@ -46,6 +57,7 @@ def make_row(
     num_boxes: int | None = None,
     image_h: int = 800,
     image_w: int = 600,
+    planted: float = 0.0,
 ) -> str:
     n = int(num_boxes if num_boxes is not None else rng.integers(1, 11))
     y1 = rng.uniform(0, image_h / 2, size=n)
@@ -57,6 +69,14 @@ def make_row(
     labels = rng.integers(0, len(SYNTHETIC_LABELS), size=n).astype(np.int64)
     if query is None:
         query = SYNTHETIC_QUERIES[int(rng.integers(0, len(SYNTHETIC_QUERIES)))]
+    if planted:
+        # plant a query-keyed direction into every box's features so a
+        # trained scorer has REAL structure to learn (pure-noise features
+        # make any learned teacher's score surface arbitrary — fine for
+        # throughput benches, useless for fidelity demos). Added AFTER all
+        # rng draws so planted rows share every other byte with their
+        # planted=0 twins (same seed -> same boxes/labels/query).
+        feats = feats + planted * query_direction(query)[None, :]
     cols = [
         str(product_id),
         str(image_h),
@@ -76,6 +96,7 @@ def make_tsv(
     seed: int = 0,
     header: bool = True,
     n_queries: int | None = None,
+    planted: float = 0.0,
 ) -> list[str]:
     rng = np.random.default_rng(seed)
     lines = []
@@ -93,6 +114,7 @@ def make_tsv(
                 product_id=100000 + i,
                 query_id=qid,
                 query=SYNTHETIC_QUERIES[qid % len(SYNTHETIC_QUERIES)],
+                planted=planted,
             )
         )
     return lines

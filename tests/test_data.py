@@ -135,3 +135,51 @@ def test_prefetch_matches_sync(featurizer, tmp_path):
     for a, b in zip(sync, pre):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_planted_rows_differ_only_in_features():
+    """make_row(planted=...) adds a query-text-keyed direction to the RoI
+    features and changes NOTHING else for the same seed: boxes, labels,
+    query, and ids stay byte-identical, so planted sets are drop-in twins
+    of the throughput-bench sets."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+        query_direction,
+    )
+
+    a = parse_line(make_row(np.random.default_rng(9), 5, 3, num_boxes=4))
+    b = parse_line(
+        make_row(np.random.default_rng(9), 5, 3, num_boxes=4, planted=6.0)
+    )
+    np.testing.assert_array_equal(a.boxes, b.boxes)
+    np.testing.assert_array_equal(a.class_labels, b.class_labels)
+    assert a.query == b.query and a.product_id == b.product_id
+    d = query_direction(a.query)
+    np.testing.assert_allclose(
+        b.features - a.features, np.tile(6.0 * d, (4, 1)), rtol=1e-5, atol=1e-5
+    )
+    # text-keyed, deterministic, unit-norm: same text -> same direction
+    np.testing.assert_array_equal(d, query_direction(a.query))
+    assert abs(float(np.linalg.norm(d)) - 1.0) < 1e-5
+    assert not np.allclose(d, query_direction("another query"))
+
+
+def test_planted_signal_is_linearly_separable():
+    """The planted direction must be recoverable from the features by a
+    linear probe -- the property the distillation fidelity demo relies on
+    (a trained teacher can only produce a learnable score surface if
+    query<->feature alignment is real)."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+        query_direction,
+    )
+
+    lines = make_tsv(64, seed=13, n_queries=4, planted=6.0)
+    pos, neg = [], []
+    for ln in lines[1:]:
+        ex = parse_line(ln)
+        own = float(ex.features.mean(0) @ query_direction(ex.query))
+        other = float(ex.features.mean(0) @ query_direction("unrelated text"))
+        pos.append(own)
+        neg.append(other)
+    # own-query projection carries the planted offset, cross-query does not
+    assert np.mean(pos) > 5.0
+    assert abs(np.mean(neg)) < 1.0
