@@ -1,0 +1,116 @@
+#!/bin/bash
+# Round-4 queue G: model-scale distillation fidelity demo with a TRAINED
+# teacher. Queue E's demo distilled a random-init teacher (no trained
+# checkpoint exists for synthetic data) so its tau 0.398 measured pipeline
+# mechanics, not achievable fidelity. The planted synthetic signal
+# (data/synthetic.py: query-text-keyed feature direction) fixes that:
+#   1. train a 12-layer imagebert_b teacher on planted rows (hard-negative
+#      sampler mines real negatives; eval loop tracks nDCG@5 vs the planted
+#      ground truth from make_eval_tsv)
+#   2. teacher scores the held-out eval set AND the train set
+#   3. distill a 4-layer student from the offline train-set scores,
+#      init-from-teacher, valid loop on the eval set
+#   4. student scores the held-out eval set
+#   5. score_fidelity: student-vs-teacher rank agreement + both models'
+#      nDCG@5 vs planted truth (the end-metric cost of the 2.08x student)
+# Same discipline as r4e/f: setsid-detached, probe-gated, per-step timeout,
+# wall-clock deadline so the driver's end-of-round bench never collides.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${KMR_QUEUE_LOG:-/tmp/tpu_r4g2.log}
+DEADLINE=${KMR_QUEUE_DEADLINE:-0}
+WORK=${KMR_WORK:-/tmp/distill_fidelity}
+exec >>"$LOG" 2>&1
+
+say() { echo "[r4g] $(date +%T) $*"; }
+
+probe() {
+  timeout -k 30 150 python -c \
+    "import numpy as np, jax; x=jax.device_put(np.arange(8.)); print('probe-ok', float(x.sum()))" \
+    2>/dev/null | grep -q probe-ok
+}
+
+past_deadline() {
+  [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]
+}
+
+wait_for_tunnel() {
+  local tries=0
+  until probe; do
+    tries=$((tries + 1))
+    say "tunnel wedged (attempt $tries); sleeping 300s"
+    if [ "$tries" -ge 40 ] || past_deadline; then
+      say "giving up (tries=$tries)"; exit 1
+    fi
+    sleep 300
+  done
+  say "tunnel UP"
+}
+
+step() {
+  local name="$1" tmo="$2"; shift 2
+  if past_deadline; then say "SKIP $name (deadline)"; return; fi
+  wait_for_tunnel
+  say "START $name: $*"
+  timeout -k 60 "$tmo" "$@"
+  say "END $name rc=$?"
+}
+
+mkdir -p "$WORK"
+say "preparing planted data in $WORK (cpu backend only)"
+PYTHONPATH= JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu python - <<EOF
+import json, sys
+sys.path.insert(0, "/root/repo")
+from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+    SYNTHETIC_LABELS, SYNTHETIC_QUERIES, make_eval_tsv, make_tsv,
+)
+open("$WORK/train.tsv", "w").write(
+    "\n".join(make_tsv(4096, seed=31, n_queries=10, planted=6.0)) + "\n")
+lines, answers = make_eval_tsv(2048, seed=47, planted=6.0, mismatch_rate=0.5)
+open("$WORK/eval.tsv", "w").write("\n".join(lines) + "\n")
+json.dump(answers, open("$WORK/answers.json", "w"))
+open("$WORK/labels.txt", "w").write(
+    "\n".join(f"{k}\t{v}" for k, v in SYNTHETIC_LABELS.items()) + "\n")
+open("$WORK/query_labels.txt", "w").write(
+    "\n".join(f"{300000+i}\t{q}\tdress,others"
+              for i, q in enumerate(SYNTHETIC_QUERIES)) + "\n")
+print("data ok:", len(lines) - 1, "eval rows,",
+      sum(len(v) for v in answers.values()), "matching pairs")
+EOF
+
+step teacher_train 3600 python scripts/train.py --model imagebert_b \
+  --train-tsv "$WORK/train.tsv" --labels "$WORK/labels.txt" \
+  --query-labels "$WORK/query_labels.txt" \
+  --steps 400 --batch-size 256 --lr 2e-4 --warmup-steps 40 \
+  --checkpoint-every 400 --valid-tsv "$WORK/eval.tsv" \
+  --answers "$WORK/answers.json" --out "$WORK/teacher"
+
+step teacher_score_eval 2400 python scripts/score.py --model imagebert_b \
+  --tsv "$WORK/eval.tsv" --labels "$WORK/labels.txt" \
+  --checkpoint "$WORK/teacher/best" --answers "$WORK/answers.json" \
+  --out "$WORK/teacher_eval.txt" --batch-size 1024 --precision bf16
+
+step teacher_score_train 2400 python scripts/score.py --model imagebert_b \
+  --tsv "$WORK/train.tsv" --labels "$WORK/labels.txt" \
+  --checkpoint "$WORK/teacher/best" \
+  --out "$WORK/teacher_train.txt" --batch-size 1024 --precision bf16
+
+step distill 3600 python scripts/distill.py --model imagebert_b \
+  --student-layers 4 --tsv "$WORK/train.tsv" --labels "$WORK/labels.txt" \
+  --teacher-scores "$WORK/teacher_train.txt" \
+  --teacher-checkpoint "$WORK/teacher/best" --init-from-teacher \
+  --steps 400 --batch-size 256 --lr 3e-4 --warmup-steps 40 \
+  --checkpoint-every 400 --valid-tsv "$WORK/eval.tsv" \
+  --answers "$WORK/answers.json" --out "$WORK/student"
+
+step student_score_eval 2400 python scripts/score.py --model imagebert_b \
+  --tsv "$WORK/eval.tsv" --labels "$WORK/labels.txt" \
+  --checkpoint "$WORK/student/student_final" --answers "$WORK/answers.json" \
+  --out "$WORK/student_eval.txt" --batch-size 1024 --precision bf16
+
+say "fidelity (cpu)"
+PYTHONPATH= JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu python scripts/score_fidelity.py \
+  --reference "$WORK/teacher_eval.txt" --candidate "$WORK/student_eval.txt" \
+  --answers "$WORK/answers.json"
+
+say "ALL DONE"
