@@ -58,6 +58,7 @@ def make_row(
     image_h: int = 800,
     image_w: int = 600,
     planted: float = 0.0,
+    planted_query: str | None = None,
 ) -> str:
     n = int(num_boxes if num_boxes is not None else rng.integers(1, 11))
     y1 = rng.uniform(0, image_h / 2, size=n)
@@ -76,7 +77,9 @@ def make_row(
         # throughput benches, useless for fidelity demos). Added AFTER all
         # rng draws so planted rows share every other byte with their
         # planted=0 twins (same seed -> same boxes/labels/query).
-        feats = feats + planted * query_direction(query)[None, :]
+        # planted_query plants a DIFFERENT query's direction: a mismatched
+        # (negative) pair with known ground truth for eval sets.
+        feats = feats + planted * query_direction(planted_query or query)[None, :]
     cols = [
         str(product_id),
         str(image_h),
@@ -118,3 +121,52 @@ def make_tsv(
             )
         )
     return lines
+
+
+def make_eval_tsv(
+    n_rows: int,
+    seed: int = 0,
+    planted: float = 6.0,
+    mismatch_rate: float = 0.5,
+) -> tuple[list[str], dict[str, list[int]]]:
+    """Planted eval set with KNOWN ground truth for ranking metrics.
+
+    Uses the 10 ``SYNTHETIC_QUERIES`` as both query ids and texts (1:1, so
+    text-keyed directions never collide across qids). Each row pairs a
+    query with features carrying either its OWN planted direction (a true
+    match) or another query's (a mismatch), drawn at ``mismatch_rate``.
+    Returns ``(tsv_lines, answers)`` where ``answers`` maps qid -> list of
+    matching product ids, the same structure as the reference's
+    ``valid_answer.json`` — so a scorer's nDCG@5 on this set measures
+    whether it actually learned the planted query↔feature alignment.
+    """
+    rng = np.random.default_rng(seed)
+    lines = [
+        "product_id\timage_h\timage_w\tnum_boxes\tboxes\tfeatures"
+        "\tclass_labels\tquery\tquery_id"
+    ]
+    answers: dict[str, list[int]] = {}
+    n_q = len(SYNTHETIC_QUERIES)
+    for i in range(n_rows):
+        qid = int(rng.integers(0, n_q))
+        query = SYNTHETIC_QUERIES[qid]
+        pid = 100000 + i
+        if rng.random() < mismatch_rate:
+            other = int(rng.integers(0, n_q - 1))
+            if other >= qid:
+                other += 1  # uniform over queries != qid
+            planted_query = SYNTHETIC_QUERIES[other]
+        else:
+            planted_query = None
+            answers.setdefault(str(qid), []).append(pid)
+        lines.append(
+            make_row(
+                rng,
+                product_id=pid,
+                query_id=qid,
+                query=query,
+                planted=planted,
+                planted_query=planted_query,
+            )
+        )
+    return lines, answers

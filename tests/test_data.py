@@ -183,3 +183,27 @@ def test_planted_signal_is_linearly_separable():
     # own-query projection carries the planted offset, cross-query does not
     assert np.mean(pos) > 5.0
     assert abs(np.mean(neg)) < 1.0
+
+
+def test_make_eval_tsv_ground_truth():
+    """make_eval_tsv rows carry the planted direction the answers say they
+    do: matching products project onto their query's direction, mismatched
+    ones onto some other query's."""
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.synthetic import (
+        make_eval_tsv,
+        query_direction,
+    )
+
+    lines, answers = make_eval_tsv(80, seed=3, planted=6.0, mismatch_rate=0.5)
+    assert answers and all(v for v in answers.values())
+    truth = {p for pids in answers.values() for p in pids}
+    n_match = 0
+    for ln in lines[1:]:
+        ex = parse_line(ln)
+        proj = float(ex.features.mean(0) @ query_direction(ex.query))
+        if ex.product_id in truth:
+            assert proj > 4.0  # own direction planted
+            n_match += 1
+        else:
+            assert proj < 2.0  # another query's direction planted
+    assert 0 < n_match < 79  # both classes present
