@@ -109,13 +109,20 @@ def main() -> None:
     if bool(args.valid_tsv) != bool(args.answers):
         ap.error("--valid-tsv and --answers must be given together")
 
-    n_teachers = sum(
-        bool(x)
-        for x in (args.teacher_scores, args.teacher_checkpoint, args.teacher_ensemble)
-    )
-    if n_teachers != 1:
-        ap.error("exactly one of --teacher-scores / --teacher-ensemble / "
-                 "--teacher-checkpoint")
+    # Teacher-source rules: the distill SIGNAL comes from exactly one of
+    # offline scores / fused ensemble / live checkpoint.  A checkpoint may
+    # additionally ride along with an offline teacher when
+    # --init-from-teacher needs it for weight init only (scores stay the
+    # signal -- no per-batch teacher forward).
+    if args.teacher_scores and args.teacher_ensemble:
+        ap.error("--teacher-scores and --teacher-ensemble are exclusive")
+    offline = bool(args.teacher_scores or args.teacher_ensemble)
+    if not offline and not args.teacher_checkpoint:
+        ap.error("one of --teacher-scores / --teacher-ensemble / "
+                 "--teacher-checkpoint is required")
+    if offline and args.teacher_checkpoint and not args.init_from_teacher:
+        ap.error("--teacher-checkpoint alongside an offline teacher is only "
+                 "meaningful with --init-from-teacher (otherwise two signals)")
     if args.init_from_teacher and not args.teacher_checkpoint:
         ap.error("--init-from-teacher requires --teacher-checkpoint")
     if bool(args.student_layers) == bool(args.student_overrides):
@@ -186,12 +193,13 @@ def main() -> None:
         print(f"offline teacher: {len(table)} scored pairs "
               f"from {len(args.teacher_scores)} file(s)")
         attach = table.attach
-    else:
+    if args.teacher_checkpoint:
         from score import load_params  # sibling script, same checkpoint formats
 
         teacher_spec = get_model(args.model)
         teacher_params = load_params(args.model, args.teacher_checkpoint, teacher_spec)
-        attach = LiveTeacher(teacher_spec, teacher_params).attach
+        if not (args.teacher_scores or args.teacher_ensemble):
+            attach = LiveTeacher(teacher_spec, teacher_params).attach
 
     tc = dataclasses.replace(
         recipe_for(student.name),

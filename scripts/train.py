@@ -41,6 +41,17 @@ def main() -> None:
                     help="override the recipe learning rate")
     ap.add_argument("--warmup-steps", type=int, default=None,
                     help="override the recipe warmup length")
+    ap.add_argument("--optimizer", default=None,
+                    choices=["bert_adamw", "adam_staircase"],
+                    help="override the recipe optimizer (B/C default to the "
+                         "reference's warmup-free staircase Adam, which "
+                         "assumes a pretrained init; from-scratch runs want "
+                         "bert_adamw's warmup)")
+    ap.add_argument("--total-steps", type=int, default=None,
+                    help="override the decay horizon of the bert_adamw "
+                         "polynomial schedule (defaults to the recipe's "
+                         "100k; short from-scratch runs should set it to "
+                         "--steps)")
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint-every", type=int, default=500)
@@ -153,6 +164,10 @@ def main() -> None:
         overrides["learning_rate"] = args.lr
     if args.warmup_steps is not None:
         overrides["num_warmup_steps"] = args.warmup_steps
+    if args.optimizer is not None:
+        overrides["optimizer"] = args.optimizer
+    if args.total_steps is not None:
+        overrides["num_train_steps"] = args.total_steps
     tc = dataclasses.replace(recipe_for(spec.name), **overrides)
     trainer = Trainer(spec, tc)
     state = trainer.init_state(jax.random.key(args.seed))

@@ -489,3 +489,63 @@ def test_distill_cli_and_score_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "student_config.json" in r.stderr
     assert len(s_scores.read_text().strip().splitlines()) == 12
+
+
+def test_distill_cli_offline_scores_with_teacher_init(tmp_path):
+    """Offline scores as the distill signal + --teacher-checkpoint for
+    --init-from-teacher weight init (the queue-G flow: scores are cheap to
+    precompute once, init still wants the trained teacher's layers)."""
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "JAX_PLATFORM_NAME": "cpu",
+        "KMR_CONFIG_OVERRIDES": json.dumps(TINY),
+    }
+    tsv = tmp_path / "pairs.tsv"
+    tsv.write_text("\n".join(make_tsv(12, seed=5, n_queries=4)) + "\n")
+    labels = tmp_path / "labels.txt"
+    labels.write_text(
+        "\n".join(f"{k}\t{v}" for k, v in SYNTHETIC_LABELS.items()) + "\n"
+    )
+    # a (random-init) full-depth teacher checkpoint in the repo's own format
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
+        save_pytree,
+    )
+
+    teacher = get_model("imagebert_b", overrides=TINY)
+    save_pytree(tmp_path / "teacher", teacher.init_params(jax.random.key(3)))
+    t_scores = tmp_path / "teacher.txt"
+
+    def run(args, timeout=480):
+        return subprocess.run(
+            [sys.executable, *args], cwd=REPO, env=env,
+            capture_output=True, text=True, timeout=timeout,
+        )
+
+    r = run([
+        "scripts/score.py", "--model", "imagebert_b",
+        "--tsv", str(tsv), "--labels", str(labels),
+        "--checkpoint", str(tmp_path / "teacher"),
+        "--out", str(t_scores), "--batch-size", "8",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    common = [
+        "scripts/distill.py", "--model", "imagebert_b",
+        "--student-layers", "1",
+        "--tsv", str(tsv), "--labels", str(labels),
+        "--teacher-scores", str(t_scores),
+        "--teacher-checkpoint", str(tmp_path / "teacher"),
+        "--steps", "2", "--batch-size", "8",
+        "--checkpoint-every", "2", "--out", str(tmp_path / "student"),
+    ]
+    # without --init-from-teacher the combination is ambiguous -> argparse error
+    r = run(common)
+    assert r.returncode == 2
+    assert "only" in r.stderr and "init-from-teacher" in r.stderr
+
+    r = run(common + ["--init-from-teacher"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "offline teacher" in r.stdout
+    assert "initialised from evenly-spaced teacher layers" in r.stdout
+    assert (tmp_path / "student" / "student_final").exists()
