@@ -3,6 +3,7 @@ from .distill import (
     TeacherScores,
     distill_soft_ce,
     evenly_spaced_layers,
+    stacking_layer_map,
     init_student_from_teacher,
     match_logodds,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "TeacherScores",
     "distill_soft_ce",
     "evenly_spaced_layers",
+    "stacking_layer_map",
     "init_student_from_teacher",
     "match_logodds",
     "TrainConfig",

@@ -123,13 +123,28 @@ def evenly_spaced_layers(num_student: int, num_teacher: int) -> tuple[int, ...]:
     )
 
 
+def stacking_layer_map(num_deep: int, num_shallow: int) -> tuple[int, ...]:
+    """Shallow layer index feeding each deep layer when GROWING a stack
+    (progressive stacking, Gong et al. 2019 "Efficient Training of BERT by
+    Progressively Stacking"): deep layer i copies shallow layer
+    ``floor(i * num_shallow / num_deep)``, so each shallow layer expands
+    into a contiguous run and depth order is preserved, e.g. 6 -> 12 gives
+    (0,0,1,1,2,2,3,3,4,4,5,5)."""
+    if not 1 <= num_shallow <= num_deep:
+        raise ValueError(f"bad depths deep={num_deep} shallow={num_shallow}")
+    return tuple(i * num_shallow // num_deep for i in range(num_deep))
+
+
 def init_student_from_teacher(student_params, teacher_params):
-    """Copy teacher weights into a shallower student of the same family.
+    """Copy teacher weights into a student of the same family at any depth.
 
     The encoders are scan-stacked (every per-layer leaf carries a leading
-    [L] axis, ``core.encoder_init``), so depth reduction is an index-take:
-    any leaf pair that agrees on trailing dims but has a smaller student
-    leading dim gets the evenly-spaced teacher layers. Same-shape leaves
+    [L] axis, ``core.encoder_init``), so depth change is an index-take on
+    any leaf pair that agrees on trailing dims: a SHALLOWER student takes
+    the evenly-spaced teacher layers (DistilBERT-style compression), a
+    DEEPER one duplicates each teacher layer into a contiguous run
+    (progressive stacking -- how a from-scratch 12x768 run escapes the
+    Post-LN flat basin that direct training sits in). Same-shape leaves
     (embeddings, pooler, heads, LXMERT's per-stack leaves at equal depth)
     copy verbatim; anything else (e.g. a narrower student) keeps its fresh
     init. Works for all families, including LXMERT's three stacks with
@@ -143,9 +158,11 @@ def init_student_from_teacher(student_params, teacher_params):
             s.ndim == t.ndim
             and s.ndim >= 1
             and s.shape[1:] == t.shape[1:]
-            and s.shape[0] < t.shape[0]
         ):
-            idx = np.asarray(evenly_spaced_layers(s.shape[0], t.shape[0]))
+            if s.shape[0] < t.shape[0]:
+                idx = np.asarray(evenly_spaced_layers(s.shape[0], t.shape[0]))
+            else:
+                idx = np.asarray(stacking_layer_map(s.shape[0], t.shape[0]))
             return jnp.asarray(t)[idx]
         return s
 

@@ -67,6 +67,12 @@ def main() -> None:
                     help="Multi-Similarity loss weight (A's MS-loss fine-tune)")
     ap.add_argument("--resume", default=None,
                     help="orbax state directory (state_<N>) to resume from")
+    ap.add_argument("--init-from", default=None,
+                    help="params checkpoint of the same family at ANY depth "
+                         "to initialise from: shallower checkpoints grow by "
+                         "progressive stacking (each layer duplicated into a "
+                         "contiguous run), deeper ones compress to evenly-"
+                         "spaced layers; optimizer state starts fresh")
     ap.add_argument("--am-loss", action="store_true",
                     help="LXMERT: train the cosine logit_W head (--taskAMSloss)")
     ap.add_argument("--grad-summaries", action="store_true",
@@ -179,6 +185,25 @@ def main() -> None:
         state = restore_pytree(args.resume, like=state)
         state = jax.device_put(state, trainer._replicated)  # re-shard onto the mesh
         print(f"resumed from {args.resume} at step {int(jax.device_get(state.step))}")
+    elif args.init_from:
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import (
+            restore_pytree,
+        )
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import (
+            init_student_from_teacher,
+        )
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train.ema import (
+            ema_init,
+        )
+
+        # raw restore (no template): the checkpoint may be any depth of the
+        # family; the depth mapping happens leaf-wise on the [L] axis
+        loaded = restore_pytree(args.init_from)
+        params = init_student_from_teacher(jax.device_get(state.params), loaded)
+        params = jax.device_put(params, trainer._replicated)
+        ema = ema_init(params) if tc.ema_decay else None
+        state = state._replace(params=params, ema=ema)
+        print(f"initialised from {args.init_from} (depth-mapped)")
 
     # multi-host: --batch-size is global; this process reads its slice of
     # the shard list (or a disjoint line stride when files < processes) and

@@ -45,6 +45,7 @@ from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import (
     distill_soft_ce,
     evenly_spaced_layers,
     init_student_from_teacher,
+    stacking_layer_map,
     match_logodds,
 )
 from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train.distill import (
@@ -122,6 +123,36 @@ def test_evenly_spaced_layers():
     assert evenly_spaced_layers(2, 9) == (3, 8)
     with pytest.raises(ValueError):
         evenly_spaced_layers(5, 4)
+
+
+def test_stacking_layer_map():
+    assert stacking_layer_map(12, 6) == (0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5)
+    assert stacking_layer_map(4, 4) == (0, 1, 2, 3)
+    assert stacking_layer_map(5, 2) == (0, 0, 0, 1, 1)
+    assert stacking_layer_map(3, 1) == (0, 0, 0)
+    with pytest.raises(ValueError):
+        stacking_layer_map(4, 5)
+
+
+def test_init_deeper_student_grows_by_stacking():
+    """Progressive stacking: a DEEPER fresh model initialised from a
+    shallower checkpoint duplicates each source layer into a contiguous
+    run (Gong et al. 2019) -- the escape hatch for from-scratch Post-LN
+    12x768 runs that pin at the trivial basin (measured on this rig)."""
+    shallow = get_model("imagebert_b", overrides={**TINY, "num_hidden_layers": 2})
+    deep = get_model("imagebert_b", overrides={**TINY, "num_hidden_layers": 4})
+    pt = shallow.init_params(jax.random.key(0))
+    pd = deep.init_params(jax.random.key(1))
+    merged = init_student_from_teacher(pd, pt)
+    idx = stacking_layer_map(4, 2)  # (0, 0, 1, 1)
+    t_q = np.asarray(pt["bert"]["encoder"]["attention"]["query"]["kernel"])
+    m_q = np.asarray(merged["bert"]["encoder"]["attention"]["query"]["kernel"])
+    assert m_q.shape[0] == 4
+    np.testing.assert_array_equal(m_q, t_q[list(idx)])
+    np.testing.assert_array_equal(
+        np.asarray(merged["bert"]["embeddings"]["word_embeddings"]),
+        np.asarray(pt["bert"]["embeddings"]["word_embeddings"]),
+    )
 
 
 def test_init_student_from_teacher_slices_encoder():

@@ -440,3 +440,41 @@ def test_score_fidelity_cli(tmp_path):
     # the swap stays inside the top-5 set, so overlap and nDCG are unhurt
     assert out["topk_overlap_min"] == 1.0
     assert out["ndcg_delta"] == 0.0
+
+
+def test_train_cli_init_from_grows_depth(data_dir, tmp_path):
+    """--init-from with a SHALLOWER checkpoint: progressive-stacking growth
+    (each source layer duplicated), the from-scratch escape hatch for deep
+    Post-LN stacks. The loaded tree is depth-mapped, optimizer state fresh."""
+
+    def run_depth(layers, extra):
+        env = dict(TINY_ENV)
+        env["KMR_CONFIG_OVERRIDES"] = json.dumps(
+            {**json.loads(TINY_ENV["KMR_CONFIG_OVERRIDES"]),
+             "num_hidden_layers": layers}
+        )
+        base = [
+            "scripts/train.py",
+            "--model", "imagebert_b",
+            "--train-tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--query-labels", str(data_dir / "query_labels.txt"),
+            "--steps", "2", "--batch-size", "8",
+            "--checkpoint-every", "2",
+        ]
+        return subprocess.run(
+            [sys.executable, *base, *extra], cwd=REPO, env=env,
+            capture_output=True, text=True, timeout=540,
+        )
+
+    shallow = tmp_path / "shallow"
+    r = run_depth(1, ["--out", str(shallow)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (shallow / "step_2").exists()
+
+    deep = tmp_path / "deep"
+    r = run_depth(2, ["--out", str(deep),
+                      "--init-from", str(shallow / "step_2")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "depth-mapped" in r.stdout
+    assert (deep / "step_2").exists()
