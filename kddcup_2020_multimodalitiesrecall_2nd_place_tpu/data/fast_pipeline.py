@@ -63,13 +63,15 @@ def _tokenize_queries(
     return out, lens
 
 
-def assemble_batches(
+def featurize_raw(
     raw: dict,
     featurizer: Featurizer,
     model_name: str,
-    batch_size: int,
-) -> Iterator[dict[str, np.ndarray]]:
-    """Native-parser output -> model-layout batches (same fields as Featurizer)."""
+) -> dict[str, np.ndarray]:
+    """Native-parser output -> the full featurized arrays of a model layout
+    (same fields as the per-example ``Featurizer`` path, unsliced). The
+    unit of work a multiprocessing worker ships back whole
+    (``data/multiworker.py``); ``assemble_batches`` slices it."""
     n = len(raw["product_id"])
     label_lut, label_mask_lut, label_lens_lut = build_label_lut(featurizer)
     clipped = np.clip(raw["class_labels"], 0, len(label_lut) - 1)
@@ -117,7 +119,18 @@ def assemble_batches(
             "query_id": raw["query_id"],
         }
         full["label_mask"] = full["label_mask"] * box_valid[..., None]
+    return full
 
+
+def assemble_batches(
+    raw: dict,
+    featurizer: Featurizer,
+    model_name: str,
+    batch_size: int,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Native-parser output -> model-layout batches (same fields as Featurizer)."""
+    full = featurize_raw(raw, featurizer, model_name)
+    n = len(raw["product_id"])
     for start in range(0, n, batch_size):
         chunk = {k: v[start : start + batch_size] for k, v in full.items()}
         yield pad_batch(chunk, batch_size)

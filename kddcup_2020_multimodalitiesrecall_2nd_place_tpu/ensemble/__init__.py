@@ -1,4 +1,5 @@
 from .fusion import (
+    single_model_fusion,
     single_model_top5,
     DEFAULT_WEIGHTS,
     FusionResult,
@@ -13,6 +14,7 @@ from .fusion import (
 )
 
 __all__ = [
+    "single_model_fusion",
     "single_model_top5",
     "DEFAULT_WEIGHTS",
     "FusionResult",

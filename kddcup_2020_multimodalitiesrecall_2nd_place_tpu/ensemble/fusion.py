@@ -96,6 +96,24 @@ def fuse(
     return FusionResult(merge, product_max, dict(product_scores))
 
 
+def single_model_fusion(scores: ScoreTable) -> FusionResult:
+    """One scorer's table wrapped as a FusionResult (merge == the raw
+    scores), so the ``dedup_filter`` rerank applies to a single model --
+    the report's valid-set postprocessing experiment (kdd-report p.3
+    section 3: ImageBERT-A alone, 0.7098 raw -> 0.7486 product-argmax ->
+    0.8352 with the gap filter at 0.9)."""
+    product_max: dict[str, float] = {}
+    product_scores: dict[str, list[float]] = defaultdict(list)
+    for row in scores.values():
+        for product_id, s in row.items():
+            if product_id not in product_max or s > product_max[product_id]:
+                product_max[product_id] = s
+            product_scores[product_id].append(s)
+    return FusionResult(
+        {q: dict(r) for q, r in scores.items()}, product_max, dict(product_scores)
+    )
+
+
 def dedup_filter(
     fusion: FusionResult,
     gap: float = GAP_THRESHOLD,

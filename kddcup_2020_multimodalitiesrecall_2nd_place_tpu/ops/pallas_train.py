@@ -391,23 +391,27 @@ def _env_block(default: int, kind: str | None = None) -> int:
     streams). Dropout masks are drawn per grid block, so different block
     sizes give different (equally valid) masks; fwd/bwd stay aligned
     because both resolve from the same inputs."""
+    v = _sweep_env_block(kind)
+    return default if v is None else v
+
+
+def _sweep_env_block(kind: str | None) -> int | None:
+    """The ONE copy of the sweep-env lookup (``KMR_TRAIN_BLOCK_{KIND}``
+    first, then ``KMR_TRAIN_BLOCK``), shared by ``_env_block`` and
+    ``resolve_train_block`` so precedence and validation cannot drift.
+    Returns None when neither env is set."""
     import os
 
-    v = None
-    src = "KMR_TRAIN_BLOCK"
-    if kind is not None:
-        per_kind = f"KMR_TRAIN_BLOCK_{kind.upper()}"
-        v = os.environ.get(per_kind)
+    names = [f"KMR_TRAIN_BLOCK_{kind.upper()}"] if kind is not None else []
+    names.append("KMR_TRAIN_BLOCK")
+    for src in names:
+        v = os.environ.get(src)
         if v:
-            src = per_kind
-    if not v:
-        v = os.environ.get("KMR_TRAIN_BLOCK")
-    if not v:
-        return default
-    iv = int(v)
-    if iv <= 0:
-        raise ValueError(f"{src} must be a positive int, got {v!r}")
-    return iv
+            iv = int(v)
+            if iv <= 0:
+                raise ValueError(f"{src} must be a positive int, got {v!r}")
+            return iv
+    return None
 
 
 def resolve_train_block(kind: str, cfg) -> int | None:
@@ -416,16 +420,9 @@ def resolve_train_block(kind: str, cfg) -> int | None:
     override per-model defaults or ``perf_lab.py train`` measures nothing),
     else the model config's ``train_block_{kind}`` field, else None so the
     kernel falls through to its per-op default in ``_env_block``."""
-    import os
-
-    per_kind = f"KMR_TRAIN_BLOCK_{kind.upper()}"
-    for src in (per_kind, "KMR_TRAIN_BLOCK"):
-        v = os.environ.get(src)
-        if v:
-            iv = int(v)
-            if iv <= 0:
-                raise ValueError(f"{src} must be a positive int, got {v!r}")
-            return iv
+    v = _sweep_env_block(kind)
+    if v is not None:
+        return v
     return getattr(cfg, f"train_block_{kind}", None)
 
 

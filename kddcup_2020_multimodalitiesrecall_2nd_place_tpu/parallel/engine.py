@@ -188,15 +188,31 @@ class ScoringEngine:
         batch_size: int,
         stats: ScoringStats | None = None,
         use_native: bool | None = None,
+        num_workers: int = 0,
     ) -> dict[str, dict[str, float]]:
         """Full scorer run: files -> {query_id: {product_id: score}}.
 
         ``use_native=None`` tries the C++ fused parser and falls back to the
         per-example python pipeline if the library cannot build.
+        ``num_workers > 0`` parses+featurizes in that many worker PROCESSES
+        (``data/multiworker.py``; the reference's ``GeneratorEnqueuer``
+        role) -- needed when one core's ~4k rows/s cannot feed the chip.
         """
         stats = stats if stats is not None else ScoringStats()
         batches = None
-        if use_native or use_native is None:
+        if num_workers:
+            from ..data.multiworker import MultiWorkerLoader
+            from ..data.pipeline import PrefetchIterator
+
+            batches = PrefetchIterator(
+                iter(MultiWorkerLoader(
+                    paths, featurizer, self.model.featurizer_layout,
+                    batch_size, num_workers=num_workers,
+                    stats=stats.pipeline, use_native=use_native,
+                )),
+                prefetch=4,
+            )
+        elif use_native or use_native is None:
             try:
                 # probe eagerly: generators/prefetch threads surface failures
                 # only at iteration time, too late to fall back

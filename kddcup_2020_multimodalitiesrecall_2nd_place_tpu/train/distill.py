@@ -124,12 +124,16 @@ def evenly_spaced_layers(num_student: int, num_teacher: int) -> tuple[int, ...]:
 
 
 def stacking_layer_map(num_deep: int, num_shallow: int) -> tuple[int, ...]:
-    """Shallow layer index feeding each deep layer when GROWING a stack
-    (progressive stacking, Gong et al. 2019 "Efficient Training of BERT by
-    Progressively Stacking"): deep layer i copies shallow layer
-    ``floor(i * num_shallow / num_deep)``, so each shallow layer expands
-    into a contiguous run and depth order is preserved, e.g. 6 -> 12 gives
-    (0,0,1,1,2,2,3,3,4,4,5,5)."""
+    """Shallow layer index feeding each deep layer when GROWING a stack:
+    deep layer i copies shallow layer ``floor(i * num_shallow / num_deep)``,
+    so each shallow layer expands into a contiguous run and depth order is
+    preserved, e.g. 6 -> 12 gives (0,0,1,1,2,2,3,3,4,4,5,5). This is the
+    interleaved/adjacent-duplication variant of progressive stacking --
+    Gong et al. 2019 ("Efficient Training of BERT by Progressively
+    Stacking") instead copy the whole shallow block on top (deep layer i
+    <- shallow layer ``i % num_shallow``); adjacent duplication keeps each
+    duplicated pair next to the residual stream position it was trained
+    at, which is the better init when depths are not exact multiples."""
     if not 1 <= num_shallow <= num_deep:
         raise ValueError(f"bad depths deep={num_deep} shallow={num_shallow}")
     return tuple(i * num_shallow // num_deep for i in range(num_deep))
@@ -146,16 +150,24 @@ def init_student_from_teacher(student_params, teacher_params):
     (progressive stacking -- how a from-scratch 12x768 run escapes the
     Post-LN flat basin that direct training sits in). Same-shape leaves
     (embeddings, pooler, heads, LXMERT's per-stack leaves at equal depth)
-    copy verbatim; anything else (e.g. a narrower student) keeps its fresh
-    init. Works for all families, including LXMERT's three stacks with
-    independent depths.
+    copy verbatim. The depth mapping applies ONLY to leaves under an
+    encoder subtree (the scan-stacked [L]-leading leaves); any other
+    leading-dim mismatch -- e.g. a student with a bigger vocab or
+    max_position_embeddings via --student-overrides -- keeps its fresh
+    init rather than silently index-mapping teacher rows. Works for all
+    families, including LXMERT's three stacks with independent depths.
     """
+    from jax.tree_util import DictKey, tree_map_with_path
 
-    def merge(s, t):
+    def merge(path, s, t):
         if s.shape == t.shape:
             return t
+        in_encoder = any(
+            isinstance(k, DictKey) and "encoder" in str(k.key) for k in path
+        )
         if (
-            s.ndim == t.ndim
+            in_encoder
+            and s.ndim == t.ndim
             and s.ndim >= 1
             and s.shape[1:] == t.shape[1:]
         ):
@@ -166,7 +178,7 @@ def init_student_from_teacher(student_params, teacher_params):
             return jnp.asarray(t)[idx]
         return s
 
-    return jax.tree.map(merge, student_params, teacher_params)
+    return tree_map_with_path(merge, student_params, teacher_params)
 
 
 # ---------------------------------------------------------------------------

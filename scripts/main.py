@@ -65,6 +65,10 @@ def main() -> None:
     workdir.mkdir(parents=True, exist_ok=True)
     out = Path(args.out) if args.out else workdir / "submission.csv"
 
+    import time
+
+    t_start = time.perf_counter()
+    breakdown = {}
     score_files = {}
     for model, fname, ckpt_attr in SCORERS:
         dest = workdir / fname
@@ -87,11 +91,34 @@ def main() -> None:
         if args.expect_pairs is not None:
             cmd += ["--expect-pairs", str(args.expect_pairs)]
         print(f"[main] scoring {model} -> {dest}", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
         r = subprocess.run(cmd, text=True, capture_output=True)
+        wall = time.perf_counter() - t0
         if r.returncode != 0:
             print(r.stderr[-4000:], file=sys.stderr)
             raise SystemExit(f"scorer {model} failed (rc={r.returncode})")
-        print(r.stdout.strip().splitlines()[-1], flush=True)
+        report_line = r.stdout.strip().splitlines()[-1]
+        print(report_line, flush=True)
+        try:
+            rep = json.loads(report_line)
+        except ValueError:
+            rep = {}
+        # engine seconds = the overlapped host-pipeline + device window
+        # inside score_files; wall - engine ~= process start + checkpoint
+        # load + first compile. The rate is over pairs actually RUN on
+        # device (the delta-C pass copies most of B's scores host-side)
+        scored = rep.get("scored_pairs", rep.get("pairs"))
+        engine_s = (
+            scored / rep["pairs_per_second"]
+            if rep.get("pairs_per_second")
+            else None
+        )
+        breakdown[model] = {
+            "wall_s": round(wall, 2),
+            "engine_s": round(engine_s, 2) if engine_s else None,
+            "pairs_per_second": rep.get("pairs_per_second"),
+            "scored_pairs": scored,
+        }
         score_files[model] = dest
 
     fuse = [
@@ -104,14 +131,18 @@ def main() -> None:
     ]
     if args.answers:
         fuse += ["--answers", args.answers]
+    t0 = time.perf_counter()
     r = subprocess.run(fuse, text=True, capture_output=True)
+    breakdown["fusion"] = {"wall_s": round(time.perf_counter() - t0, 2)}
     if r.returncode != 0:
         print(r.stderr[-4000:], file=sys.stderr)
         raise SystemExit(f"fusion failed (rc={r.returncode})")
     if r.stdout.strip():
         print(r.stdout.strip(), flush=True)
     print(json.dumps({"submission": str(out),
-                      "queries": sum(1 for _ in open(out)) - 1}), flush=True)
+                      "queries": sum(1 for _ in open(out)) - 1,
+                      "total_wall_s": round(time.perf_counter() - t_start, 2),
+                      "breakdown": breakdown}), flush=True)
 
 
 if __name__ == "__main__":

@@ -5,6 +5,7 @@ Subcommands (each prints one JSON line per measurement):
 
   model  <name> [B]         whole-model scoring throughput (bf16, packed)
   model_q8 <name> [B] [ffn|full]  int8 serving mode (FFN-only by default)
+  artifact <dir> [B]        reloaded AOT artifact (export.py) throughput
   stages <name> [B]         per-stage split: embed / encoder / head
   train  <name> [B]         full train step (fused custom-VJP path on TPU)
   grad   <name> [B] [nodrop] value_and_grad alone (dropout toggled)
@@ -135,6 +136,32 @@ def cmd_model_q8(name: str, B: int, mode: str = "ffn"):
         dt = _time(f, params, batch)
     _emit(cmd="model_q8", model=name, B=B, mode=mode, ms=round(dt * 1e3, 2),
           pairs_per_sec=round(B / dt, 1))
+
+
+def cmd_artifact(artifact_dir: str, B: int | None = None):
+    """Device-side throughput of a RELOADED AOT artifact (scripts/export.py
+    output): proves a serving number survives the jax.export round-trip --
+    no model python, the baked StableHLO is all that runs. Inputs are
+    staged with device_put so the tunnel's ~30 MB/s H2D does not pollute
+    the kernel time (same discipline as every other subcommand)."""
+    from scripts.bench_all import make_batch
+
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import get_model
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.serving import load_scorer
+
+    scorer = load_scorer(artifact_dir)
+    meta = scorer.meta
+    B = scorer.batch_size or B or 8192
+    spec = get_model(meta["model"], overrides=meta.get("config_overrides") or None)
+    batch = make_batch(meta["model"], spec.config, B, np.random.default_rng(0))
+    feats = {k: batch[k] for k in scorer.feature_keys}
+    feats = jax.device_put(feats)
+    f = scorer.exported.call  # already compiled+serialized; call specializes once
+    dt = _time(lambda d: f(d), feats)
+    _emit(cmd="artifact", dir=str(artifact_dir), model=meta["model"], B=B,
+          backend=meta.get("attention_backend"),
+          overrides=meta.get("config_overrides"),
+          ms=round(dt * 1e3, 2), pairs_per_sec=round(B / dt, 1))
 
 
 def cmd_stages(name: str, B: int):
@@ -394,6 +421,28 @@ def cmd_host(n_rows: int = 4000, batch_size: int = 512):
             _emit(cmd="host", case=case, rows=n_rows, batch=batch_size,
                   rows_per_s=round(rate, 1),
                   loader_cores_per_chip_at_25k=round(25000 / rate, 2))
+
+        # multi-process loader (data/multiworker.py): rate at each worker
+        # count, chunked small enough that every worker gets work. Includes
+        # the one-time spawn+import cost in a separate field so the steady
+        # rate is readable on hosts where python startup dominates
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data.multiworker import (
+            MultiWorkerLoader,
+        )
+
+        for workers in (0, 1, 2):
+            def drain_mw(w=workers):
+                loader = MultiWorkerLoader(
+                    [path], fz, "imagebert_b", batch_size, num_workers=w,
+                    chunk_bytes=max(len(buf) // 8, 1 << 20),
+                )
+                n_out = sum(int(b["valid"].sum()) for b in loader)
+                assert n_out == n_rows
+            dt = min(_timed(drain_mw) for _ in range(reps))
+            rate = n_rows / dt
+            _emit(cmd="host", case=f"multiworker_{workers}", rows=n_rows,
+                  batch=batch_size, rows_per_s=round(rate, 1),
+                  loader_cores_per_chip_at_25k=round(25000 / rate, 2))
     finally:
         os.unlink(path)
 
@@ -634,6 +683,8 @@ def main():
     elif cmd == "model_q8":
         cmd_model_q8(a[0], int(a[1]) if len(a) > 1 else 8192,
                      a[2] if len(a) > 2 else "ffn")
+    elif cmd == "artifact":
+        cmd_artifact(a[0], int(a[1]) if len(a) > 1 else None)
     elif cmd == "train":
         cmd_train(a[0], int(a[1]) if len(a) > 1 else 1024)
     elif cmd == "grad":

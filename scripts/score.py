@@ -117,6 +117,12 @@ def main() -> None:
                          "construction, so only rewritten rows are scored "
                          "and the rest are copied from this file. Only "
                          "valid with --model imagebert_c.")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="host loader worker PROCESSES (0 = in-process "
+                         "prefetch thread). The reference's num_workers "
+                         "GeneratorEnqueuer knob (evaluate_normal.py:214-"
+                         "216); one core parses ~4k rows/s vs ~25k "
+                         "pairs/s/chip device rate, so real hosts want ~6")
     args = ap.parse_args()
 
     if args.delta_from is not None and args.model != "imagebert_c":
@@ -218,7 +224,8 @@ def main() -> None:
             prec = Precision.f32() if args.precision == "f32" else Precision.bf16()
             engine = ScoringEngine(spec, params, precision=prec)
             result = engine.score_files(
-                tsv_paths, featurizer, args.batch_size, stats=stats
+                tsv_paths, featurizer, args.batch_size, stats=stats,
+                num_workers=args.workers,
             )
             if delta_base is not None:
                 for qid, row in result.items():

@@ -55,6 +55,7 @@ def compare(ref, cand, k: int = 5) -> dict:
     shared = sorted(set(ref) & set(cand))
     taus, overlaps = [], []
     answers = {}
+    cand_shared = {}  # same pid universe as tau/overlap: shared pids only
     n_pairs = 0
     missing_pairs = 0
     for qid in shared:
@@ -64,6 +65,7 @@ def compare(ref, cand, k: int = 5) -> dict:
             continue
         a = np.array([ref[qid][p] for p in pids])
         b = np.array([cand[qid][p] for p in pids])
+        cand_shared[qid] = {p: cand[qid][p] for p in pids}
         n_pairs += len(pids)
         ii, jj = np.triu_indices(len(pids), 1)
         taus.append(float(np.mean(np.sign(a[ii] - a[jj]) * np.sign(b[ii] - b[jj]))))
@@ -84,7 +86,7 @@ def compare(ref, cand, k: int = 5) -> dict:
             kendall_tau_min=round(float(np.min(taus)), 4),
             topk_overlap_mean=round(float(np.mean(overlaps)), 4),
             topk_overlap_min=round(float(np.min(overlaps)), 4),
-            ndcg_delta=round(1.0 - evaluate_scores(cand, answers, k), 4),
+            ndcg_delta=round(1.0 - evaluate_scores(cand_shared, answers, k), 4),
         )
     return out
 

@@ -73,6 +73,12 @@ def main() -> None:
                          "progressive stacking (each layer duplicated into a "
                          "contiguous run), deeper ones compress to evenly-"
                          "spaced layers; optimizer state starts fresh")
+    ap.add_argument("--layers", type=int, default=None,
+                    help="override the encoder depth (num_hidden_layers) -- "
+                         "trains a shallow stage of a progressive-stacking "
+                         "schedule or a depth-reduced variant directly; the "
+                         "shape is recorded in <out>/student_config.json so "
+                         "score.py can reload the checkpoint")
     ap.add_argument("--am-loss", action="store_true",
                     help="LXMERT: train the cosine logit_W head (--taskAMSloss)")
     ap.add_argument("--grad-summaries", action="store_true",
@@ -93,6 +99,13 @@ def main() -> None:
     args = ap.parse_args()
     if bool(args.valid_tsv) != bool(args.answers):
         ap.error("--valid-tsv and --answers must be given together")
+    if args.resume and args.init_from:
+        ap.error("--resume and --init-from are mutually exclusive: resume "
+                 "restores the full optimizer state, init-from depth-maps "
+                 "params only")
+    if args.layers is not None and args.model == "lxmert":
+        ap.error("--layers targets single-stream depth; lxmert's three "
+                 "stack depths need scripts/distill.py --student-overrides")
     if bool(args.train_tsv) == bool(args.packed_dir):
         ap.error("exactly one of --train-tsv / --packed-dir is required")
     if args.model == "two_tower" and args.packed_dir:
@@ -132,7 +145,10 @@ def main() -> None:
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import Trainer
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.utils import log_metrics
 
-    spec = get_model(args.model)
+    spec = get_model(
+        args.model,
+        overrides={"num_hidden_layers": args.layers} if args.layers else None,
+    )
     tok = (
         FullTokenizer.hf_style(VOCAB_PATH)
         if args.model == "lxmert"
@@ -281,6 +297,15 @@ def main() -> None:
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if args.layers is not None:
+        # same sidecar distill.py writes: score.py/export.py read it to
+        # rebuild the non-default-depth spec on checkpoint reload
+        import json
+
+        (out_dir / "student_config.json").write_text(
+            json.dumps({"model": args.model,
+                        "overrides": {"num_hidden_layers": args.layers}})
+        )
     metrics_file = open(out_dir / "metrics.jsonl", "a")
 
     # --- training-time valid loop (the reference steered its B fine-tune by

@@ -86,6 +86,29 @@ def test_engine_scores_all_pairs(spec, featurizer, tmp_path):
         assert result[q][p] == pytest.approx(direct[i], abs=1e-5)
 
 
+def test_engine_multiworker_loader_same_scores(spec, featurizer, tmp_path):
+    """score_files(num_workers=2) == the default in-process pipeline: the
+    multi-process loader (data/multiworker.py) changes WHO featurizes,
+    never what reaches the device."""
+    params = spec.init_params(jax.random.key(0))
+    engine = ScoringEngine(spec, params, precision=Precision.f32())
+    lines = make_tsv(21, seed=0)
+    tsv = tmp_path / "test.tsv"
+    tsv.write_text("\n".join(lines) + "\n")
+
+    base = engine.score_files([tsv], featurizer, batch_size=8)
+    stats = ScoringStats()
+    mw = engine.score_files(
+        [tsv], featurizer, batch_size=8, stats=stats, num_workers=2
+    )
+    assert stats.pipeline.parsed == 21
+    assert mw.keys() == base.keys()
+    for q in base:
+        assert mw[q].keys() == base[q].keys()
+        for p in base[q]:
+            assert mw[q][p] == pytest.approx(base[q][p], abs=1e-6)
+
+
 def test_score_file_formats(tmp_path):
     result = {"1": {"101": 0.5, "102": 0.25}, "2": {"103": 1.0}}
     t = tmp_path / "s.tsv"
