@@ -274,6 +274,16 @@ def test_main_cli_one_shot_submission(data_dir, tmp_path):
     lines = sub.read_text().splitlines()
     assert lines[0].startswith("query-id,product1")
     assert summary["queries"] == len(lines) - 1 > 0
+    # wall-clock breakdown: one entry per scorer + fusion, engine window
+    # bounded by the subprocess wall
+    bd = summary["breakdown"]
+    assert set(bd) == {"imagebert_a", "imagebert_b", "imagebert_c",
+                       "lxmert", "fusion"}
+    for model in ("imagebert_a", "imagebert_b", "lxmert"):
+        assert bd[model]["scored_pairs"] == 12
+        assert 0 < bd[model]["engine_s"] <= bd[model]["wall_s"]
+    assert bd["imagebert_c"]["scored_pairs"] <= 12  # delta pass
+    assert summary["total_wall_s"] >= bd["fusion"]["wall_s"]
     # all four intermediate score files landed in the workdir
     assert sorted(p.name for p in out.iterdir() if "score" in p.name) == [
         "testB_score_a.txt", "testB_score_b.txt", "testB_score_c.txt",
