@@ -200,14 +200,29 @@ class MultiWorkerLoader:
 
     def _spans_pooled(self, spans) -> Iterator[dict]:
         ctx = mp.get_context("spawn")
-        # out queue bounded for backpressure; the reorder buffer below only
-        # ever holds out-of-order spans (<= num_workers + maxsize of them)
         task_q = ctx.Queue()
         out_q = ctx.Queue(maxsize=2 * self.num_workers)
-        for span in spans:
-            task_q.put(span)
-        for _ in range(self.num_workers):
-            task_q.put(None)
+
+        # Tasks are fed lazily, never more than max_ahead spans past the
+        # next span the consumer needs: this bounds the reorder buffer (and
+        # so host RAM) even when one span parses much slower than its
+        # neighbours -- with everything pre-queued, the other workers could
+        # otherwise run arbitrarily far ahead while the consumer waits.
+        max_ahead = 4 * self.num_workers
+        issued = 0
+        ended = False
+
+        def feed(next_idx: int) -> None:
+            nonlocal issued, ended
+            while issued < len(spans) and issued < next_idx + max_ahead:
+                task_q.put(spans[issued])
+                issued += 1
+            if issued == len(spans) and not ended:
+                ended = True
+                for _ in range(self.num_workers):
+                    task_q.put(None)
+
+        feed(0)
 
         # sanitized child env (see module docstring); spawn snapshots
         # os.environ at Process.start, so scope the mutation tightly
@@ -255,6 +270,7 @@ class MultiWorkerLoader:
                 while next_idx in reorder:
                     full, parsed, errors = reorder.pop(next_idx)
                     next_idx += 1
+                    feed(next_idx)
                     self.stats.parsed += parsed
                     self.stats.errors += errors
                     yield full
