@@ -49,6 +49,28 @@ step() {
   return $rc
 }
 
+# VERDICT r4 item 8 follow-up: the r5/r5b artifact benches exported with
+# the default portable XLA backend and measured ~26.4k pairs/s -- the
+# fused-kernel 53.4k number needs the pallas_packed backend baked into
+# the artifact (scripts/export.py --backend pallas_packed, a same-fleet
+# deployment mode; serving/export.py module docstring). Export + bench
+# the packed artifact so the "north star survives AOT" claim is measured
+# with the right backend.
+FID=${KMR_FID_WORK:-/tmp/r5_fidelity}
+STUDENT="$FID/student2/best"
+[ -d "$STUDENT" ] || STUDENT="$FID/student/best"
+if [ -d "$STUDENT" ]; then
+  say "=== packed student artifact (checkpoint: $STUDENT) ==="
+  step export_student_packed 2400 python scripts/export.py \
+    --model imagebert_b --checkpoint "$STUDENT" --batch-size 8192 \
+    --precision bf16 --backend pallas_packed \
+    --out "$FID/student_artifact_packed"
+  step artifact_packed_bench 2400 \
+    python scripts/perf_lab.py artifact "$FID/student_artifact_packed"
+else
+  say "no student checkpoint found; skipping packed artifact steps"
+fi
+
 say "=== headpack round 1 ==="
 step hp_loop_1 3600 env KMR_TRAIN_HEADPACK=0 python scripts/perf_lab.py train imagebert_b 1024
 step hp_mixed_1 3600 env KMR_TRAIN_HEADPACK=mixed python scripts/perf_lab.py train imagebert_b 1024
