@@ -24,6 +24,12 @@ Workers spawn with a sanitized environment (``PYTHONPATH`` cleared,
 modules, never initialise a TPU backend, and bypass any site hook that
 would (this rig's axon sitecustomize can hang interpreter start while a
 TPU job is wedged -- ROADMAP.md "Known quirks").
+
+Span hand-off rides POSIX shared memory by default (``use_shm``): one
+memcpy into a per-span block in the worker, one out in the consumer,
+instead of pickling ~82 KB/row of RoI features through a pipe both ways
+(the reference's ``GeneratorEnqueuer`` pays that pickle for every batch).
+Falls back to the pickling queue per span if /dev/shm is unavailable.
 """
 
 from __future__ import annotations
@@ -40,6 +46,74 @@ from .featurize import Featurizer, pad_batch, stack_examples
 from .pipeline import PipelineStats, iter_examples
 
 DEFAULT_CHUNK_BYTES = 32 << 20  # ~500 rows of testB-sized pairs
+
+
+# ------------------------------------------------------------- shm transfer
+# A featurized span is ~82 KB/row (RoI features dominate); pickling that
+# through a ``mp.Queue`` pipe costs a serialize + two pipe syscall copies +
+# a deserialize per span. Packing the arrays into one POSIX shared-memory
+# block instead makes the hand-off one memcpy in (worker) and one out
+# (consumer). Lifecycle on 3.12 (no ``track=`` until 3.13): BOTH opener
+# sides auto-register with the resource tracker, so the worker unregisters
+# after filling (the consumer owns the block from then on) and the
+# consumer's ``unlink()`` unregisters its own registration. A hard-killed
+# consumer can leak blocks in /dev/shm; ``_spans_pooled``'s cleanup drains
+# every queued/undelivered block on the normal and error paths.
+
+def _shm_pack(full: dict[str, np.ndarray]):
+    """Copy a span's arrays into one shm block -> (name, metas)."""
+    from multiprocessing import resource_tracker, shared_memory
+
+    metas = []
+    total = 0
+    for k, v in full.items():
+        metas.append((k, v.shape, v.dtype.str, total))
+        total += int(v.nbytes)
+    shm = shared_memory.SharedMemory(create=True, size=max(total, 1))
+    try:
+        for (k, shape, dt, off), v in zip(metas, full.values()):
+            np.ndarray(shape, dtype=dt, buffer=shm.buf, offset=off)[...] = v
+    except BaseException:
+        shm.close()
+        shm.unlink()  # unlink also drops the tracker registration
+        raise
+    name = shm.name
+    # the consumer owns the block from here; drop this process's tracker
+    # registration so worker exit can't reap a block the consumer is
+    # about to read (3.12 auto-registers every opener)
+    resource_tracker.unregister(shm._name, "shared_memory")
+    shm.close()
+    return name, metas
+
+
+def _shm_unpack(name: str, metas) -> dict[str, np.ndarray]:
+    """Copy arrays out of a shm block and remove it."""
+    from multiprocessing import shared_memory
+
+    shm = shared_memory.SharedMemory(name=name)
+    try:
+        return {
+            k: np.ndarray(shape, dtype=dt, buffer=shm.buf, offset=off).copy()
+            for k, shape, dt, off in metas
+        }
+    finally:
+        shm.close()
+        shm.unlink()  # also unregisters the attach-side registration
+
+
+def _shm_drop(name: str) -> None:
+    """Best-effort removal of an unconsumed block (error/teardown path)."""
+    from multiprocessing import shared_memory
+
+    try:
+        shm = shared_memory.SharedMemory(name=name)
+    except FileNotFoundError:
+        return
+    shm.close()
+    try:
+        shm.unlink()
+    except FileNotFoundError:
+        pass
 
 
 def chunk_spans(
@@ -97,7 +171,7 @@ def featurize_span(
     return stack_examples(rows), stats.parsed, stats.errors
 
 
-def _worker_main(task_q, out_q, featurizer, layout, use_native) -> None:
+def _worker_main(task_q, out_q, featurizer, layout, use_native, use_shm) -> None:
     """Worker loop: byte spans in, featurized span arrays out."""
     try:
         while True:
@@ -109,7 +183,15 @@ def _worker_main(task_q, out_q, featurizer, layout, use_native) -> None:
             full, parsed, errors = featurize_span(
                 path, start, end, featurizer, layout, use_native
             )
-            out_q.put(("chunk", idx, (full, parsed, errors)))
+            if use_shm and full:
+                try:
+                    name, metas = _shm_pack(full)
+                except OSError:  # /dev/shm full or unavailable: pickle it
+                    out_q.put(("chunk", idx, (full, parsed, errors)))
+                else:
+                    out_q.put(("shm", idx, (name, metas, parsed, errors)))
+            else:
+                out_q.put(("chunk", idx, (full, parsed, errors)))
     except BaseException:  # noqa: BLE001 -- ship the traceback to the consumer
         out_q.put(("error", None, traceback.format_exc()))
 
@@ -133,6 +215,7 @@ class MultiWorkerLoader:
         stats: PipelineStats | None = None,
         use_native: bool | None = None,
         timeout: float = 600.0,
+        use_shm: bool = True,
     ):
         if use_native is None:
             try:
@@ -151,6 +234,7 @@ class MultiWorkerLoader:
         self.stats = stats if stats is not None else PipelineStats()
         self.use_native = use_native
         self.timeout = timeout
+        self.use_shm = use_shm
 
     # ---------------------------------------------------------- batching
     def _batches(self, fulls: Iterator[dict]) -> Iterator[dict]:
@@ -234,7 +318,7 @@ class MultiWorkerLoader:
                 ctx.Process(
                     target=_worker_main,
                     args=(task_q, out_q, self.featurizer, self.layout,
-                          self.use_native),
+                          self.use_native, self.use_shm),
                     daemon=True,
                 )
                 for _ in range(self.num_workers)
@@ -248,8 +332,8 @@ class MultiWorkerLoader:
                 else:
                     os.environ[k] = v
 
+        reorder: dict[int, tuple] = {}
         try:
-            reorder: dict[int, tuple] = {}
             next_idx = 0
             done = 0
             while done < self.num_workers or next_idx < len(spans):
@@ -266,9 +350,14 @@ class MultiWorkerLoader:
                 if kind == "done":
                     done += 1
                     continue
-                reorder[idx] = payload
+                reorder[idx] = (kind, payload)
                 while next_idx in reorder:
-                    full, parsed, errors = reorder.pop(next_idx)
+                    kind, payload = reorder.pop(next_idx)
+                    if kind == "shm":
+                        name, metas, parsed, errors = payload
+                        full = _shm_unpack(name, metas)
+                    else:
+                        full, parsed, errors = payload
                     next_idx += 1
                     feed(next_idx)
                     self.stats.parsed += parsed
@@ -279,6 +368,17 @@ class MultiWorkerLoader:
                 p.terminate()
             for p in procs:
                 p.join(timeout=10)
+            # remove any shm blocks that never reached _shm_unpack
+            for kind, payload in reorder.values():
+                if kind == "shm":
+                    _shm_drop(payload[0])
+            try:
+                while True:
+                    kind, _, payload = out_q.get_nowait()
+                    if kind == "shm":
+                        _shm_drop(payload[0])
+            except Exception:  # queue.Empty / closed
+                pass
 
     def __iter__(self) -> Iterator[dict]:
         spans = [

@@ -69,16 +69,26 @@ def test_chunk_spans_cover_exactly(tsv_files):
             assert e1 == s2  # contiguous, no gap/overlap
 
 
+def _shm_names():
+    import os
+
+    try:
+        return {n for n in os.listdir("/dev/shm") if n.startswith("psm_")}
+    except FileNotFoundError:  # non-POSIX-shm host
+        return set()
+
+
 def test_worker_counts_agree_and_match_serial(tsv_files, featurizer):
-    def run(workers, use_native=None):
+    def run(workers, use_native=None, use_shm=True):
         stats = PipelineStats()
         loader = MultiWorkerLoader(
             tsv_files, featurizer, "imagebert_b", BATCH,
             num_workers=workers, chunk_bytes=4096, stats=stats,
-            use_native=use_native,
+            use_native=use_native, use_shm=use_shm,
         )
         return list(loader), stats
 
+    before = _shm_names()
     inline, st0 = run(0)
     one, st1 = run(1)
     two, st2 = run(2)
@@ -86,6 +96,13 @@ def test_worker_counts_agree_and_match_serial(tsv_files, featurizer):
     batches_equal(inline, two)
     assert st0.parsed == st1.parsed == st2.parsed == 58
     assert st0.errors == st1.errors == st2.errors == 0
+
+    # the pickling-queue fallback transfer produces the same stream
+    pickled, _ = run(2, use_shm=False)
+    batches_equal(inline, pickled)
+
+    # every per-span shared-memory block was consumed and removed
+    assert _shm_names() - before == set()
 
     # equal to the per-example serial pipeline: batching crosses file and
     # chunk boundaries with ONE padded tail
