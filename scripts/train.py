@@ -79,6 +79,21 @@ def main() -> None:
                          "schedule or a depth-reduced variant directly; the "
                          "shape is recorded in <out>/student_config.json so "
                          "score.py can reload the checkpoint")
+    ap.add_argument("--distill-from", default=None,
+                    help="teacher checkpoint (any depth of the same family): "
+                         "ONLINE distillation -- the teacher scores every "
+                         "sampled batch on device and the student blends the "
+                         "soft cross-entropy with the regular hard loss, so "
+                         "the hard-negative sampler keeps mining fresh pair "
+                         "structure for the student (the offline alternative, "
+                         "scripts/distill.py --teacher-scores, sees only a "
+                         "static transfer set)")
+    ap.add_argument("--distill-weight", type=float, default=1.0,
+                    help="soft-loss weight when --distill-from is set")
+    ap.add_argument("--distill-temperature", type=float, default=2.0)
+    ap.add_argument("--hard-loss-weight", type=float, default=0.5,
+                    help="hard (family) loss weight when --distill-from is "
+                         "set; 0 = pure-soft distillation")
     ap.add_argument("--am-loss", action="store_true",
                     help="LXMERT: train the cosine logit_W head (--taskAMSloss)")
     ap.add_argument("--grad-summaries", action="store_true",
@@ -108,6 +123,9 @@ def main() -> None:
                  "stack depths need scripts/distill.py --student-overrides")
     if bool(args.train_tsv) == bool(args.packed_dir):
         ap.error("exactly one of --train-tsv / --packed-dir is required")
+    if args.distill_from and args.model == "two_tower":
+        ap.error("--distill-from targets the cross-encoder scorers (the "
+                 "two_tower embedders have no teacher probability to match)")
     if args.model == "two_tower" and args.packed_dir:
         ap.error("--packed-dir shards are pos/neg cross-encoder instances; "
                  "the label-blind in-batch InfoNCE would train hard negatives "
@@ -182,6 +200,12 @@ def main() -> None:
         word_match_loss_weight=args.word_match_weight,
         grad_summaries=args.grad_summaries,
     )
+    if args.distill_from:
+        overrides.update(
+            distill_weight=args.distill_weight,
+            distill_temperature=args.distill_temperature,
+            hard_loss_weight=args.hard_loss_weight,
+        )
     if args.lr is not None:
         overrides["learning_rate"] = args.lr
     if args.warmup_steps is not None:
@@ -220,6 +244,24 @@ def main() -> None:
         ema = ema_init(params) if tc.ema_decay else None
         state = state._replace(params=params, ema=ema)
         print(f"initialised from {args.init_from} (depth-mapped)")
+
+    live_teacher = None
+    if args.distill_from:
+        from score import load_params  # sibling script, same checkpoint formats
+
+        from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.train import (
+            LiveTeacher,
+        )
+
+        teacher_spec = get_model(args.model)
+        live_teacher = LiveTeacher(
+            teacher_spec,
+            load_params(args.model, args.distill_from, teacher_spec),
+            precision=trainer.precision,
+        )
+        print(f"online distillation from {args.distill_from} "
+              f"(soft {args.distill_weight} / hard {args.hard_loss_weight}, "
+              f"T={args.distill_temperature})")
 
     # multi-host: --batch-size is global; this process reads its slice of
     # the shard list (or a disjoint line stride when files < processes) and
@@ -353,6 +395,8 @@ def main() -> None:
             batch = {k: v for k, v in batch.items() if not k.startswith("word_match")}
         if not args.mlm_weight:
             batch = {k: v for k, v in batch.items() if not k.startswith("masked_lm")}
+        if live_teacher is not None:
+            batch = live_teacher.attach(batch)
         state, metrics = trainer.train_step(state, batch, rngs[step])
         if step % 20 == 0:
             log_metrics(step, metrics, metrics_file)

@@ -488,3 +488,50 @@ def test_train_cli_init_from_grows_depth(data_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "depth-mapped" in r.stdout
     assert (deep / "step_2").exists()
+
+
+def test_train_cli_online_distillation(data_dir, tmp_path):
+    """--distill-from: the teacher scores every sampler batch on device and
+    the student blends soft CE with the hard loss -- the online counterpart
+    of scripts/distill.py's offline transfer-set flow."""
+    teacher = tmp_path / "teacher"
+    r = _run(
+        [
+            "scripts/train.py",
+            "--model", "imagebert_b",
+            "--train-tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--query-labels", str(data_dir / "query_labels.txt"),
+            "--steps", "2", "--batch-size", "8",
+            "--out", str(teacher), "--checkpoint-every", "2",
+        ],
+        timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    student = tmp_path / "student"
+    r = _run(
+        [
+            "scripts/train.py",
+            "--model", "imagebert_b",
+            "--train-tsv", str(data_dir / "test.tsv"),
+            "--labels", str(data_dir / "labels.txt"),
+            "--query-labels", str(data_dir / "query_labels.txt"),
+            "--steps", "2", "--batch-size", "8",
+            "--out", str(student), "--checkpoint-every", "2",
+            "--layers", "1",
+            "--init-from", str(teacher / "step_2"),
+            "--distill-from", str(teacher / "step_2"),
+        ],
+        timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "online distillation" in r.stdout
+    metrics = [
+        json.loads(l) for l in (student / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert metrics and "distill_loss" in metrics[0]
+    assert "loss" in metrics[0]  # hard loss still blended (default 0.5)
+    # the sidecar lets score.py/export.py rebuild the 1-layer student spec
+    sidecar = json.loads((student / "student_config.json").read_text())
+    assert sidecar["overrides"]["num_hidden_layers"] == 1
