@@ -57,6 +57,9 @@ def main() -> None:
                          "pass rescores only those rows and copies B's "
                          "scores for the rest -- bit-identical output, ~25%% "
                          "less device time)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="loader worker processes per scorer (passed through "
+                         "to score.py; 0 = inline single-thread pipeline)")
     ap.add_argument("--answers", default=None,
                     help="valid_answer.json: also report ensemble nDCG@5")
     args = ap.parse_args()
@@ -81,6 +84,8 @@ def main() -> None:
             "--batch-size", str(args.batch_size),
             "--precision", args.precision,
         ]
+        if args.workers:
+            cmd += ["--workers", str(args.workers)]
         ckpt = getattr(args, ckpt_attr)
         if ckpt:
             cmd += ["--checkpoint", ckpt]

@@ -264,6 +264,7 @@ def test_main_cli_one_shot_submission(data_dir, tmp_path):
             "--workdir", str(out),
             "--batch-size", "8",
             "--expect-pairs", "12",
+            "--workers", "1",  # pass-through to each scorer's loader
         ],
         timeout=580,
     )
