@@ -32,11 +32,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        str(Path(__file__).resolve().parents[1] / ".jax_cache"),
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.utils import (
+        enable_persistent_compile_cache,
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    enable_persistent_compile_cache()
 
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
         Precision,

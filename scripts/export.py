@@ -64,6 +64,11 @@ def main() -> None:
         Precision,
         get_model,
     )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.utils import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.serving import (
         export_scorer,
         save_scorer,

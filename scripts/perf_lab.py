@@ -784,11 +784,11 @@ if __name__ == "__main__":
 
     # remote XLA compiles on this rig run 1-3 min each; persist them so a
     # sweep re-run (or a block re-pick after an edit) is cheap
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        str(Path(__file__).resolve().parents[1] / ".jax_cache"),
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.utils import (
+        enable_persistent_compile_cache,
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    enable_persistent_compile_cache()
     globals()["jax"] = jax
     globals()["jnp"] = jnp
     main()

@@ -134,6 +134,11 @@ def main() -> None:
         Featurizer,
         load_multimodal_labels,
     )
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.utils import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.models import (
         Precision,
         get_model,

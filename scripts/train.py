@@ -145,6 +145,12 @@ def main() -> None:
     import jax
     import numpy as np
 
+    from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.utils import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu import VOCAB_PATH
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.checkpoint import save_pytree
     from kddcup_2020_multimodalitiesrecall_2nd_place_tpu.data import (
